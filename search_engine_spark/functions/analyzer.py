@@ -1,0 +1,191 @@
+"""Text analysis: normalize -> tokenize -> stop-filter -> lemmatize.
+
+Reference pipeline parity (LemmaFinderImpl.java:19-39):
+  T1 normalize (lowercase, ё->е, strip non-letters to space, split \\s+,
+     LemmaFinderImpl.java:111-118)
+  P2 stop-particle filter (LemmaFinderImpl.java:92-98)
+  T2 lemmatize to first normal form (LemmaFinderImpl.java:26-31)
+
+The reference uses a Russian dictionary morphology (Lucene
+RussianLuceneMorphology); no morphology libraries exist in this sandbox, so
+we vendor a deterministic suffix-rule lemmatizer for English-ish transcript
+text. What we preserve is the *pipeline semantics* — normalize, tokenize,
+stop-filter, map each surface form to one canonical lemma, count — not the
+Russian dictionary.
+
+ONE rule table drives FOUR implementations guaranteed identical:
+  * ``analyze_text``     — pure Python (driver-side query analysis, oracle)
+  * ``analyze_series``   — pandas-vectorized (inside Arrow UDFs)
+  * ``terms_col``        — Spark Column expression (JVM, whole-stage codegen
+                           — the preferred hot path: zero Python)
+  * ``lemma_case_sql`` / ``tokens_cte_sql`` — ANSI SQL for the DuckDB oracle
+
+Identity across the four is property-tested in tests/test_analyzer.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Stop-words (analog of the reference's particle filter,
+# LemmaFinderImpl.java:13: МЕЖД/ПРЕДЛ/СОЮЗ — interjections, prepositions,
+# conjunctions). Fixed, frozen; never change without bumping index_version.
+# --------------------------------------------------------------------------
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "the", "and", "or", "but", "if", "then", "else", "of",
+    "in", "on", "at", "to", "for", "by", "with", "from", "as", "is",
+    "are", "was", "were", "be", "been", "it", "its", "this", "that",
+    "these", "those", "i", "you", "he", "she", "we", "they", "not",
+    "no", "do", "does", "did", "so", "than", "too", "very", "can",
+    "will", "just", "into", "over", "under", "again",
+)
+_STOPSET = frozenset(STOPWORDS)
+
+# Rule table: (suffix, min_total_len, n_chars_dropped, appended, excluded_suffixes)
+# First matching rule wins; no match -> token unchanged.
+_RULES: tuple[tuple[str, int, int, str, tuple[str, ...]], ...] = (
+    ("ies", 5, 3, "y", ()),
+    ("sses", 5, 2, "", ()),
+    ("s", 4, 1, "", ("ss", "us", "is")),
+    ("ing", 6, 3, "", ()),
+    ("ed", 5, 2, "", ()),
+)
+
+_NONWORD_RE = re.compile(r"[^a-z0-9]+")
+
+
+# --------------------------------------------------------------------------
+# Pure Python (driver-side: query analysis; also the pandas oracle)
+# --------------------------------------------------------------------------
+def lemmatize_token(w: str) -> str:
+    for suffix, minlen, drop, add, excl in _RULES:
+        if len(w) >= minlen and w.endswith(suffix) and not any(
+            w.endswith(e) for e in excl
+        ):
+            return w[: len(w) - drop] + add
+    return w
+
+
+def analyze_text(text: str | None) -> list[str]:
+    """text -> list of lemmas (duplicates preserved — callers count tf)."""
+    if not text:
+        return []
+    normalized = _NONWORD_RE.sub(" ", text.lower()).strip()
+    if not normalized:
+        return []
+    return [
+        lemmatize_token(t)
+        for t in normalized.split(" ")
+        if t and t not in _STOPSET
+    ]
+
+
+# --------------------------------------------------------------------------
+# pandas-vectorized (used inside Arrow-batched UDFs — no per-row Python
+# beyond the initial tokenization split, which is C-backed in pandas)
+# --------------------------------------------------------------------------
+def lemmatize_series(tokens: pd.Series) -> pd.Series:
+    """Vectorized lemmatizer over a flat Series of tokens."""
+    s = tokens.astype(str)
+    lengths = s.str.len()
+    conds, stems = [], []
+    claimed = pd.Series(False, index=s.index)
+    for suffix, minlen, drop, add, excl in _RULES:
+        m = (lengths >= minlen) & s.str.endswith(suffix) & ~claimed
+        for e in excl:
+            m &= ~s.str.endswith(e)
+        conds.append(m.to_numpy())
+        claimed |= m
+        stemmed = s.str.slice(0, -drop)
+        if add:
+            stemmed = stemmed + add
+        stems.append(stemmed.to_numpy())
+    return pd.Series(
+        np.select(conds, stems, default=s.to_numpy()), index=s.index
+    )
+
+
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[str]] — vectorized analyzer for UDFs."""
+    s = texts.fillna("").astype(str).str.lower()
+    s = s.str.replace(_NONWORD_RE, " ", regex=True).str.strip()
+    exploded = s.str.split(" ").explode()
+    mask = exploded.notna() & (exploded != "") & ~exploded.isin(_STOPSET)
+    kept = exploded[mask]
+    if len(kept):
+        kept = lemmatize_series(kept)
+    regrouped = kept.groupby(level=0).agg(list)
+    return regrouped.reindex(s.index).apply(
+        lambda v: v if isinstance(v, list) else []
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark Column expression (JVM-side, whole-stage codegen — zero Python)
+# --------------------------------------------------------------------------
+def _lemma_col(t: Column) -> Column:
+    expr = t
+    # build the when-chain from the last rule backwards so first rule wins
+    for suffix, minlen, drop, add, excl in reversed(_RULES):
+        cond = (F.length(t) >= F.lit(minlen)) & t.endswith(suffix)
+        for e in excl:
+            cond = cond & ~t.endswith(e)
+        stemmed = t.substr(F.lit(1), F.length(t) - F.lit(drop))
+        if add:
+            stemmed = F.concat(stemmed, F.lit(add))
+        expr = F.when(cond, stemmed).otherwise(expr)
+    return expr
+
+
+def terms_col(text: Column) -> Column:
+    """text column -> array<string> of lemmas; pure Catalyst expressions."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+    toks = F.split(norm, " ")
+    toks = F.filter(toks, lambda t: (t != F.lit("")) & ~t.isin(*STOPWORDS))
+    toks = F.transform(toks, _lemma_col)
+    return F.coalesce(toks, F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# ANSI SQL (DuckDB oracle — generated from the same rule table)
+# --------------------------------------------------------------------------
+def lemma_case_sql(var: str = "tok") -> str:
+    """CASE expression applying the rule chain to SQL variable ``var``."""
+    whens = []
+    for suffix, minlen, drop, add, excl in _RULES:
+        cond = f"length({var}) >= {minlen} AND {var} LIKE '%{suffix}'"
+        for e in excl:
+            cond += f" AND {var} NOT LIKE '%{e}'"
+        result = f"substr({var}, 1, length({var}) - {drop})"
+        if add:
+            result += f" || '{add}'"
+        whens.append(f"WHEN {cond} THEN {result}")
+    return "CASE " + " ".join(whens) + f" ELSE {var} END"
+
+
+def stopword_sql_list() -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def tokens_cte_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text", extra_cols: str = "") -> str:
+    """A CTE body producing (id_col, term) rows — one per token occurrence —
+    identical to Spark's explode(terms_col(text)). DuckDB dialect."""
+    extra = f", {extra_cols}" if extra_cols else ""
+    return f"""
+    SELECT {id_col}{extra}, {lemma_case_sql('tok')} AS term
+    FROM (
+        SELECT {id_col}{extra},
+               unnest(string_split(
+                   trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS tok
+        FROM {table}
+    )
+    WHERE tok <> '' AND tok NOT IN ({stopword_sql_list()})
+    """

@@ -1,0 +1,413 @@
+"""Distributed inverted-index build (the reference's startIndexing pipeline,
+IndexationServiceImpl.java:88-106 + EntitySaver.java:35-109, re-architected
+as Spark jobs; SURVEY.md §3.2).
+
+Pipeline (2 wide shuffles total):
+
+  transcripts
+    -> P1 hygiene filter (blank text; EntitySaver.java:51 analog)
+    -> stable dense doc_id by (conv_id, turn_idx)    [shuffle 1: range]
+    -> analyze (Arrow pandas UDF: tokenize+stop+lemmatize)
+    -> documents (+ dl) and exploded (doc_id, term, tf, dl)  [shuffle 2: agg]
+    -> term_stats (df, cf), corpus_stats
+    -> per doc_id-range PART (checkpoint unit):
+         broadcast-join term df  -> range-salt hot terms
+         -> applyInPandas encoder: sorted, delta+varbyte blocks w/ block-max
+         -> postings/part_id=P/bucket=B parquet + manifest row (lineage)
+
+Scale notes (100 TB / 1000 executors):
+- doc_id assignment is the two-pass range pattern — no global window, no
+  zipWithIndex; boundaries from repartitionByRange, per-partition offsets
+  prefix-summed on the driver (tiny), ids filled in mapInPandas.
+- the explode->agg shuffle is the big one; partial aggregation (Catalyst)
+  combines map-side so shuffle volume is ~unique (term, doc) pairs.
+- hot terms (Zipf head) are salted into contiguous doc_id subranges so the
+  "merge" of salted segments is pure concatenation — no re-sort, no second
+  shuffle (SURVEY.md §7.3).
+- each PART is an independent job writing its own partition directory +
+  manifest row -> kill/resume skips DONE parts (north-rule checkpointing).
+- postings are hash-bucketed by term (`bucket` partition column) so query
+  lookups prune to matching directories.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.analyzer import analyze_series, terms_col
+from ..functions.codec import varbyte_encode
+from .. import schemas
+
+K1 = 1.2
+B = 0.75
+BLOCKS_PER_SALT_CAP = 1 << 20  # block_id = salt * CAP + local
+
+
+@dataclass
+class IndexBuildResult:
+    out_dir: str
+    n_docs: int
+    avgdl: float
+    max_tf_sum: float
+    n_terms: int
+    postings_blocks: int
+    parts_built: int
+    parts_skipped: int
+    index_version: str
+
+
+def _terms_udf():
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _analyze(texts: pd.Series) -> pd.Series:
+        return analyze_series(texts)
+
+    return _analyze
+
+
+def clean_transcripts(transcripts: DataFrame) -> DataFrame:
+    """P1 hygiene: only non-blank turns are indexed (EntitySaver.java:51)."""
+    # NB: regexp-based blank test, not trim() — Spark trim strips only
+    # ASCII space while the contract (and the pandas oracle) treats any
+    # whitespace-only text as blank.
+    return transcripts.filter(
+        F.col("text").isNotNull()
+        & (F.regexp_replace(F.col("text"), r"\s", "") != "")
+    )
+
+
+def assign_doc_ids(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Dense doc_id in global (conv_id, turn_idx) order — scalable two-pass:
+    range-shuffle + sortWithinPartitions, per-partition counts prefix-summed
+    on the driver, ids assigned in mapInPandas. No global sort bottleneck.
+    """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n_part, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
+    )
+
+    def _assign(iterator):
+        local = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            start = offsets[pid] + local
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = np.arange(start, start + len(pdf), dtype=np.int64)
+            local += len(pdf)
+            yield pdf
+
+    result = ranged.mapInPandas(_assign, schema=out_schema)
+    return result, ranged  # caller unpersists `ranged`
+
+
+def _manifest_path(out_dir: str) -> Path:
+    return Path(out_dir) / "_manifest"
+
+
+def _write_manifest_row(out_dir: str, name: str, row: dict) -> None:
+    mdir = _manifest_path(out_dir)
+    mdir.mkdir(parents=True, exist_ok=True)
+    tmp = mdir / f".{name}.tmp"
+    tmp.write_text(json.dumps(row))
+    tmp.rename(mdir / f"{name}.json")  # atomic: a row exists only if complete
+
+
+def _read_manifest(out_dir: str) -> dict[str, dict]:
+    mdir = _manifest_path(out_dir)
+    if not mdir.exists():
+        return {}
+    out = {}
+    for p in sorted(mdir.glob("*.json")):
+        out[p.stem] = json.loads(p.read_text())
+    return out
+
+
+def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The build_manifest table (per-partition lineage + metrics)."""
+    rows = []
+    for name, r in _read_manifest(out_dir).items():
+        rows.append(
+            (
+                int(r.get("partition_id", -1)),
+                r.get("status", "DONE"),
+                pd.Timestamp(r["started_ts"], unit="s").floor("us")
+                if r.get("started_ts")
+                else None,
+                pd.Timestamp(r["finished_ts"], unit="s").floor("us")
+                if r.get("finished_ts")
+                else None,
+                r.get("error"),
+                int(r.get("postings_written", 0)),
+                int(r.get("terms_merged", 0)),
+                int(r.get("bytes_compressed", 0)),
+                r.get("index_version", ""),
+            )
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[f.name for f in schemas.BUILD_MANIFEST.fields],
+    )
+    return spark.createDataFrame(pdf, schema=schemas.BUILD_MANIFEST)
+
+
+def _make_encoder(n_docs: int, avgdl: float, block_size: int):
+    """Grouped-map encoder: one (term, part, salt) group -> posting block
+    rows. All array math is numpy; the only Python loop is per-block."""
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term = key[0]
+        salt = int(key[2])
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        df_t = int(pdf["df"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        rows = []
+        for i in range(0, len(ids), block_size):
+            d = ids[i : i + block_size]
+            t = tfs[i : i + block_size]
+            l = dls[i : i + block_size]
+            denom = t + K1 * (1 - B + B * l / avgdl)
+            bscores = idf * (t * (K1 + 1)) / denom
+            rows.append(
+                (
+                    term,
+                    salt * BLOCKS_PER_SALT_CAP + i // block_size,
+                    int(d.size),
+                    varbyte_encode(
+                        np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
+                    ),
+                    varbyte_encode(t.astype(np.uint64)),
+                    varbyte_encode(l.astype(np.uint64)),
+                    int(d[0]),
+                    int(d[-1]),
+                    int(t.max()),
+                    float(bscores.max()),
+                    bucket,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in schemas.POSTINGS.fields]
+        )
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    *,
+    n_buckets: int = 16,
+    block_size: int = 128,
+    salt_budget: int = 100_000,
+    n_parts: int = 4,
+    index_version: str = "v1",
+    resume: bool = True,
+    fail_after_parts: int | None = None,  # test hook: simulate a killed job
+) -> IndexBuildResult:
+    """Full index build with per-part checkpoint/resume."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = _read_manifest(out_dir) if resume else {}
+    if not resume and _manifest_path(out_dir).exists():
+        for p in _manifest_path(out_dir).glob("*.json"):
+            p.unlink()
+        manifest = {}
+
+    docs_path = str(out / "documents")
+    staging_path = str(out / "_staging_postings_raw")
+    stats_path = str(out / "term_stats")
+    corpus_path = str(out / "corpus_stats")
+    postings_path = str(out / "postings")
+
+    # ---------------- Stage A: documents + exploded staging ----------------
+    if manifest.get("stage_docs", {}).get("status") != "DONE":
+        t0 = time.time()
+        clean = clean_transcripts(transcripts)
+        with_ids, ranged = assign_doc_ids(clean, spark)
+        analyzed = with_ids.withColumn("terms", _terms_udf()(F.col("text")))
+        analyzed = analyzed.withColumn("dl", F.size("terms")).persist()
+
+        documents = analyzed.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"
+        )
+        documents.write.mode("overwrite").parquet(docs_path)
+
+        n_docs = spark.read.parquet(docs_path).count()
+        part_size = max(1, math.ceil(n_docs / n_parts))
+        exploded = (
+            analyzed.select("doc_id", "dl", F.explode("terms").alias("term"))
+            .groupBy("term", "doc_id", "dl")  # dl functionally dep. on doc_id
+            .agg(F.count("*").alias("tf"))
+            .withColumn(
+                "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
+            )
+        )
+        exploded.write.mode("overwrite").partitionBy("part_id").parquet(
+            staging_path
+        )
+        analyzed.unpersist()
+        ranged.unpersist()
+        _write_manifest_row(
+            out_dir,
+            "stage_docs",
+            {
+                "partition_id": -1,
+                "status": "DONE",
+                "started_ts": t0,
+                "finished_ts": time.time(),
+                "index_version": index_version,
+                "n_docs": n_docs,
+                "part_size": part_size,
+            },
+        )
+        manifest = _read_manifest(out_dir)
+
+    n_docs = int(manifest["stage_docs"]["n_docs"])
+    part_size = int(manifest["stage_docs"]["part_size"])
+
+    # ---------------- Stage B: term_stats + corpus_stats -------------------
+    if manifest.get("stage_stats", {}).get("status") != "DONE":
+        t0 = time.time()
+        raw = spark.read.parquet(staging_path)
+        term_stats = raw.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        term_stats.write.mode("overwrite").parquet(stats_path)
+
+        docs = spark.read.parquet(docs_path)
+        corpus = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.max("dl").cast("double").alias("max_tf_sum"),
+            F.lit(index_version).alias("index_version"),
+        )
+        corpus.write.mode("overwrite").parquet(corpus_path)
+        _write_manifest_row(
+            out_dir,
+            "stage_stats",
+            {
+                "partition_id": -1,
+                "status": "DONE",
+                "started_ts": t0,
+                "finished_ts": time.time(),
+                "index_version": index_version,
+            },
+        )
+        manifest = _read_manifest(out_dir)
+
+    corpus_row = spark.read.parquet(corpus_path).collect()[0]
+    avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
+    max_tf_sum = float(corpus_row["max_tf_sum"] or 0.0)
+
+    # ---------------- Stage C: per-part posting encode ---------------------
+    term_stats = spark.read.parquet(stats_path)
+    encoder = _make_encoder(n_docs, avgdl, block_size)
+    built = skipped = 0
+    actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
+    for p in range(actual_parts):
+        name = f"part_{p:05d}"
+        if manifest.get(name, {}).get("status") == "DONE":
+            skipped += 1
+            continue
+        if fail_after_parts is not None and built >= fail_after_parts:
+            raise RuntimeError(f"simulated kill before part {p}")
+        t0 = time.time()
+        part_lo = p * part_size
+        raw_p = spark.read.parquet(staging_path).filter(F.col("part_id") == p)
+        joined = raw_p.join(
+            F.broadcast(term_stats.select("term", "df")), "term"
+        )
+        # range-salting: hot terms (df > budget) split into contiguous
+        # doc_id subranges; merge across salts == concatenation.
+        n_salts = F.greatest(
+            F.lit(1), F.ceil(F.col("df") / F.lit(salt_budget)).cast("long")
+        )
+        salted = joined.withColumn(
+            "salt",
+            (
+                ((F.col("doc_id") - F.lit(part_lo)) * n_salts)
+                / F.lit(part_size)
+            ).cast("int"),
+        ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+        encoded = salted.groupBy("term", "part_id", "salt").applyInPandas(
+            lambda key, pdf: encoder(key, pdf), schema=schemas.POSTINGS
+        )
+        part_dir = f"{postings_path}/part_id={p}"
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(part_dir)
+
+        # lineage metrics from the written part (cheap re-read of one part)
+        m = (
+            spark.read.parquet(part_dir)
+            .agg(
+                F.sum("n").alias("postings_written"),
+                F.countDistinct("term").alias("terms_merged"),
+                F.sum(
+                    F.length("doc_ids") + F.length("tfs") + F.length("dls")
+                ).alias("bytes_compressed"),
+                F.count("*").alias("blocks"),
+            )
+            .collect()[0]
+        )
+        _write_manifest_row(
+            out_dir,
+            name,
+            {
+                "partition_id": p,
+                "status": "DONE",
+                "started_ts": t0,
+                "finished_ts": time.time(),
+                "postings_written": int(m["postings_written"] or 0),
+                "terms_merged": int(m["terms_merged"] or 0),
+                "bytes_compressed": int(m["bytes_compressed"] or 0),
+                "blocks": int(m["blocks"] or 0),
+                "index_version": index_version,
+            },
+        )
+        built += 1
+
+    manifest = _read_manifest(out_dir)
+    total_blocks = sum(
+        int(r.get("blocks", 0)) for n, r in manifest.items() if n.startswith("part_")
+    )
+    n_terms = spark.read.parquet(stats_path).count()
+    return IndexBuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        max_tf_sum=max_tf_sum,
+        n_terms=n_terms,
+        postings_blocks=total_blocks,
+        parts_built=built,
+        parts_skipped=skipped,
+        index_version=index_version,
+    )

@@ -1,0 +1,250 @@
+"""Top-k query engine over the built index (reference search lifecycle,
+SearchServiceImpl.java:34-103; SURVEY.md §3.1).
+
+Flow per query:
+  1. analyze the query driver-side (tiny; same analyzer as the build).
+  2. dictionary lookup in term_stats — filter + collect of <=|q| rows
+     (J3, LemmaRepository.java:18-21); df-ascending term order (O1).
+  3. optional df cutoff (P3, SearchServiceImpl.java:169-178; OFF by default
+     — documented deviation, it changes recall).
+  4. posting-block scan: parquet read pruned by `bucket` partition dirs +
+     `term` row-group min/max; decode + per-term BM25 partials in
+     mapInPandas (Arrow, numpy) with block-max pruning under conjunctive
+     semantics.
+  5. per-doc combine: pivot per-term partial scores and sum in FIXED
+     df-ascending term order (left-to-right chain) so float accumulation is
+     bit-identical to the single-node oracle — rank-identity without
+     tolerance games.
+  6. TakeOrderedAndProject top-(offset+k) by (score DESC, doc_id ASC) —
+     deterministic tie-break (fixes the reference's HashSet
+     nondeterminism; SURVEY.md §7.5).
+  7. broadcast-join documents for text; snippet pandas UDF on k rows only.
+
+Scoring modes:
+  - "bm25" (default): idf = ln(1 + (N - df + .5)/(df + .5)), k1=1.2, b=.75
+  - "relevance_ref": SUM(tf)/max_tf_sum — exact reference formula
+    (IndexRepository.java:14-20)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.analyzer import analyze_text
+from ..functions.codec import decode_postings
+from ..functions.snippet import make_snippet
+from .index_build import K1, B
+
+
+@dataclass
+class TermInfo:
+    term: str
+    df: int
+    order: int  # df-ascending rank among query terms
+
+
+class SearchEngine:
+    """Loads index metadata once; each ``search`` call is one Spark job."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, n_buckets: int = 16):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_buckets = n_buckets
+        corpus = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+        self.n_docs = int(corpus["n_docs"])
+        self.avgdl = float(corpus["avgdl"]) if corpus["avgdl"] else 1.0
+        self.max_tf_sum = float(corpus["max_tf_sum"] or 1.0)
+        self.term_stats = spark.read.parquet(f"{index_dir}/term_stats")
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.documents = spark.read.parquet(f"{index_dir}/documents")
+
+    # ------------------------------------------------------------------
+    def lookup_terms(self, query: str, max_df: int | None = None) -> tuple[list[TermInfo], int]:
+        """Analyze + dictionary lookup. Returns (present terms df-asc,
+        n_query_terms). Missing terms under conjunctive semantics make the
+        result empty — the caller decides."""
+        q_terms = sorted(set(analyze_text(query)))
+        if not q_terms:
+            return [], 0
+        rows = (
+            self.term_stats.filter(F.col("term").isin(q_terms))
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        n_missing = sum(1 for t in q_terms if t not in found)
+        infos = [
+            TermInfo(t, found[t], 0)
+            for t in q_terms
+            if t in found and (max_df is None or found[t] < max_df)
+        ]
+        infos.sort(key=lambda ti: (ti.df, ti.term))  # O1 rarest-first
+        for i, ti in enumerate(infos):
+            ti.order = i
+        return infos, n_missing
+
+    def _idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    # ------------------------------------------------------------------
+    def candidate_scores(
+        self,
+        infos: list[TermInfo],
+        mode: str = "bm25",
+    ) -> DataFrame:
+        """Decode matching posting blocks -> (doc_id, order, s) partial
+        scores. Partition-pruned by bucket, row-group pruned by term."""
+        terms = [ti.term for ti in infos]
+        params = {
+            ti.term: (ti.order, self._idf(ti.df)) for ti in infos
+        }
+        n_docs, avgdl, max_tf_sum = self.n_docs, self.avgdl, self.max_tf_sum
+
+        blocks = self.postings.filter(F.col("term").isin(terms)).select(
+            "term", "doc_ids", "tfs", "dls"
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("order", T.IntegerType(), False),
+                T.StructField("s", T.DoubleType(), False),
+            ]
+        )
+
+        def decode_score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                outs = []
+                for term, ids_buf, tfs_buf, dls_buf in zip(
+                    pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]
+                ):
+                    order, idf = params[term]
+                    ids, tfs = decode_postings(bytes(ids_buf), bytes(tfs_buf))
+                    if mode == "bm25":
+                        from ..functions.codec import varbyte_decode
+
+                        dls = varbyte_decode(bytes(dls_buf)).astype(np.float64)
+                        denom = tfs + K1 * (1 - B + B * dls / avgdl)
+                        s = idf * (tfs * (K1 + 1)) / denom
+                    else:  # relevance_ref (IndexRepository.java:14-20)
+                        s = tfs / max_tf_sum
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": ids,
+                                "order": np.int32(order),
+                                "s": s,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return blocks.mapInPandas(decode_score, schema=out_schema)
+
+    # ------------------------------------------------------------------
+    def search_ids(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "bm25",
+        max_df: int | None = None,
+        conjunctive: bool = True,
+    ) -> DataFrame:
+        """Top-k (doc_id, score) — the rank-identity contract surface."""
+        empty = self.spark.createDataFrame(
+            [], schema="doc_id long, score double"
+        )
+        infos, n_missing = self.lookup_terms(query, max_df=max_df)
+        if conjunctive and n_missing:
+            # a query term absent from the dictionary -> no doc matches ALL
+            # (reference error contract, SearchServiceImpl.java:60-62);
+            # df-pruned terms (P3) do NOT trigger this — they are merely
+            # excluded from scoring, matching the reference's pickNonFrequent
+            return empty
+        if not infos:
+            return empty
+
+        partials = self.candidate_scores(infos, mode=mode)
+        n = len(infos)
+        # pivot to one column per term (values are single partial scores,
+        # so the pivot-sum is exact), then combine left-to-right in
+        # df-ascending order — fixed float accumulation order.
+        pivoted = (
+            partials.groupBy("doc_id")
+            .pivot("order", list(range(n)))
+            .agg(F.first("s"))
+        )
+        score = F.lit(0.0)
+        for o in range(n):
+            score = score + F.coalesce(F.col(f"`{o}`"), F.lit(0.0))
+        scored = pivoted.withColumn("score", score)
+        if conjunctive and n > 1:
+            present = None
+            for o in range(n):
+                c = F.col(f"`{o}`").isNotNull()
+                present = c if present is None else (present & c)
+            scored = scored.filter(present)
+        topk = (
+            scored.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(offset + k)
+        )
+        if offset:
+            rows = topk.collect()[offset:]
+            return self.spark.createDataFrame(
+                rows or [], schema="doc_id long, score double"
+            )
+        return topk
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "bm25",
+        max_df: int | None = None,
+        conjunctive: bool = True,
+        with_snippets: bool = True,
+    ) -> DataFrame:
+        """Full result projection (P6): doc metadata + score + snippet."""
+        ids = self.search_ids(
+            query, k=k, offset=offset, mode=mode, max_df=max_df,
+            conjunctive=conjunctive,
+        )
+        joined = self.documents.join(F.broadcast(ids), "doc_id")
+        if with_snippets:
+            lemmas = set(analyze_text(query))
+
+            @F.pandas_udf(T.StringType())
+            def snippet_udf(texts: pd.Series) -> pd.Series:
+                return texts.apply(lambda t: make_snippet(t, lemmas))
+
+            joined = joined.withColumn("snippet", snippet_udf(F.col("text")))
+        else:
+            joined = joined.withColumn("snippet", F.lit(None).cast("string"))
+        return joined.select(
+            "doc_id", "conv_id", "turn_idx", "score", "snippet"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    # ------------------------------------------------------------------
+    def statistics(self) -> DataFrame:
+        """Index statistics report (A6/A7; StatisticsServiceImpl.java:33-51
+        analog): per-role doc counts + global totals."""
+        docs = self.documents
+        per_role = docs.groupBy("role").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+        )
+        return per_role.withColumn("n_docs_total", F.lit(self.n_docs))

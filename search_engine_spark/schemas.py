@@ -1,0 +1,130 @@
+"""Declared StructTypes for every table in the engine (schema-on-write).
+
+Mirrors the reference's four JPA entities (Site/Page/Lemma/Index —
+model/Site.java:13-38, model/Page.java:12-32, model/Lemma.java:12-31,
+model/Index.java:11-27) re-shaped for columnar storage; see SURVEY.md §1.3
+for the mapping table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Input: multi-turn transcripts (BASELINE.json input_hint).
+# One row per turn; (conv_id, turn_idx) unique and defines document order.
+# ---------------------------------------------------------------------------
+TRANSCRIPTS = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# documents — the doc store (reference `pages`, model/Page.java:12-32).
+# doc_id is dense, assigned in (conv_id, turn_idx) order; text kept verbatim
+# for snippets (the per-turn text-equality row invariant).
+# dl = token count after analysis (BM25 doc length).
+# ---------------------------------------------------------------------------
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# term_stats — term dictionary (reference `lemmas`, model/Lemma.java:12-31).
+# df = # distinct documents containing the term (EntitySaver.java:88-101),
+# cf = collection frequency (sum of tf) — extension needed by nothing in the
+# reference but cheap and useful for stats.
+# ---------------------------------------------------------------------------
+TERM_STATS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),
+    ]
+)
+
+# doc_stats — per-document lengths (BM25 `dl`; also SUM(rank) per page,
+# IndexRepository.java:14-15 analog since tf-sum == dl under our analyzer).
+DOC_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+# corpus_stats — one row of global scalars (versioned; fixes the reference's
+# stale cached max relevance, SearchServiceImpl.java:147-153).
+CORPUS_STATS = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("avgdl", T.DoubleType(), False),
+        T.StructField("max_tf_sum", T.DoubleType(), False),
+        T.StructField("index_version", T.StringType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# postings — the inverted index (reference `indexes`, model/Index.java:11-27,
+# one MySQL row per (term, doc)). Here: per-term posting blocks, doc_ids
+# delta-encoded + varbyte-packed, tfs varbyte-packed, with per-block maxima
+# for block-max WAND. `bucket` = hash(term) % N_BUCKETS, the partition
+# column — query-time term lookups prune to matching buckets.
+# ---------------------------------------------------------------------------
+POSTINGS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),  # postings in block
+        T.StructField("doc_ids", T.BinaryType(), False),  # delta+varbyte
+        T.StructField("tfs", T.BinaryType(), False),  # varbyte
+        T.StructField("dls", T.BinaryType(), False),  # varbyte doc lengths
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("block_max_score", T.DoubleType(), False),
+        T.StructField("bucket", T.IntegerType(), False),  # partition col
+    ]
+)
+
+# build_manifest — per-partition checkpoint/lineage rows (reproduces the
+# Site status machine, model/Status.java:3-5 + IndexationServiceImpl
+# heartbeat, as required by the north rule).
+BUILD_MANIFEST = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),  # PENDING/RUNNING/DONE/FAILED
+        T.StructField("started_ts", T.TimestampType(), True),
+        T.StructField("finished_ts", T.TimestampType(), True),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("postings_written", T.LongType(), True),
+        T.StructField("terms_merged", T.LongType(), True),
+        T.StructField("bytes_compressed", T.LongType(), True),
+        T.StructField("index_version", T.StringType(), False),
+    ]
+)
+
+# search results projection (reference dto/statistics/Data.java:8-21)
+SEARCH_RESULT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("snippet", T.StringType(), True),
+    ]
+)

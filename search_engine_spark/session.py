@@ -1,0 +1,86 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local tests run on ``local[N]`` (single JVM); the same configuration keys
+govern multi-executor cluster runs (ship via ``spark-submit --py-files``).
+All settings are chosen for a 100 TB corpus on a ~1000-executor cluster:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- Arrow on (every UDF in this package is pandas/Arrow vectorized),
+- shuffle partitions sized to cores locally; on a cluster set
+  ``spark.sql.shuffle.partitions`` ~= 2-3x total executor cores via
+  ``--conf`` (AQE coalesces the tail).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "search_engine_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the same entry points run unchanged under spark-submit on a real
+    cluster (where ``master`` is injected by the launcher and this arg is
+    left None with ``spark.master`` already set).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local: one shuffle partition per core; cluster: override via --conf
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if n in ("*", "") else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (the local-mode analog
+    of ``spark-submit --py-files engine.zip``). Without this, pandas-UDF
+    deserialization fails with ModuleNotFoundError whenever the driver
+    script runs outside the repo root."""
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / "search_engine_spark_pyfiles.zip"
+    sources = sorted(pkg_dir.rglob("*.py"))
+    stale = zip_path.exists() and any(
+        p.stat().st_mtime > zip_path.stat().st_mtime for p in sources
+    )
+    if stale:
+        zip_path.unlink()
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+        tmp.rename(zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))

@@ -1,0 +1,115 @@
+"""Analyzer goldens (mirror of the reference's LemmaFinderTest.java:17-40:
+a fixed sentence must produce an exact lemma->tf map) + cross-implementation
+identity: pure-Python == pandas-vectorized == Spark Column == DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.analyzer import (
+    analyze_series,
+    analyze_text,
+    lemma_case_sql,
+    lemmatize_token,
+    stopword_sql_list,
+    terms_col,
+)
+
+# --- goldens -------------------------------------------------------------
+# the "леопард counted twice" case from LemmaFinderTest: repeated inflected
+# forms of one lemma must collapse and count tf=2
+GOLDENS = [
+    (
+        "The cats and the cat are running in the index!",
+        {"cat": 2, "runn": 1, "index": 1},
+    ),
+    ("", {}),
+    ("   \t ", {}),
+    ("THE AND OF", {}),  # all stop-words
+    ("Classes classes CLASS", {"class": 3}),
+    ("merged merging merge", {"merg": 2, "merge": 1}),
+    # 'us'/'is'/'ss' suffixes are excluded from the s-drop rule
+    ("bonus axis press", {"bonus": 1, "axis": 1, "press": 1}),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS)
+def test_analyzer_goldens(text, expected):
+    assert dict(Counter(analyze_text(text))) == expected
+
+
+def test_lemma_rules():
+    assert lemmatize_token("cities") == "city"
+    assert lemmatize_token("classes") == "class"
+    assert lemmatize_token("cats") == "cat"
+    assert lemmatize_token("bonus") == "bonus"  # 'us' excluded
+    assert lemmatize_token("axis") == "axis"  # 'is' excluded
+    assert lemmatize_token("press") == "press"  # 'ss' excluded
+    assert lemmatize_token("running") == "runn"
+    assert lemmatize_token("parsed") == "pars"
+    assert lemmatize_token("as") == "as"  # too short
+    assert lemmatize_token("123") == "123"
+
+
+# --- implementation identity --------------------------------------------
+TEXTS = [
+    "The Cats are running; dogs barked!",
+    "Classes BONUS axis 123 a b c",
+    "",
+    "mixing CASES with-hyphens and_underscores",
+    "unicode √ stripped ños parsed",
+    "ssss us is ss",
+]
+
+
+def test_pandas_matches_python():
+    got = analyze_series(pd.Series(TEXTS)).tolist()
+    exp = [analyze_text(t) for t in TEXTS]
+    assert got == exp
+
+
+def test_spark_column_matches_python(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = [r["terms"] for r in
+           df.select(terms_col(df.text).alias("terms")).collect()]
+    exp = [analyze_text(t) for t in TEXTS]
+    assert got == exp
+
+
+def test_duckdb_sql_matches_python():
+    con = duckdb.connect()
+    rows = []
+    for i, t in enumerate(TEXTS):
+        rows.append((i, t))
+    con.execute("CREATE TABLE docs(id int, text varchar)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = f"""
+    SELECT id, {lemma_case_sql('tok')} AS term
+    FROM (
+        SELECT id, unnest(string_split(
+            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        FROM docs)
+    WHERE tok <> '' AND tok NOT IN ({stopword_sql_list()})
+    ORDER BY id
+    """
+    duck = con.execute(sql).df()
+    exp_rows = [(i, term) for i, t in enumerate(TEXTS) for term in analyze_text(t)]
+    exp = pd.DataFrame(exp_rows, columns=["id", "term"])
+    got = duck.sort_values(["id"]).reset_index(drop=True)
+    # order within a doc: duckdb unnest preserves order; compare as multisets per doc
+    for i in range(len(TEXTS)):
+        assert sorted(got[got.id == i]["term"]) == sorted(exp[exp.id == i]["term"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+def test_pandas_python_identity_fuzz(text):
+    got = analyze_series(pd.Series([text])).tolist()[0]
+    assert got == analyze_text(text)

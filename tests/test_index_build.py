@@ -1,0 +1,106 @@
+"""Index-table contents vs the single-node pandas oracle (SURVEY.md §5):
+documents (row invariant), term_stats (df/cf), corpus_stats, decoded
+postings, manifest lineage, and kill/resume identity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from search_engine_spark.functions.codec import decode_postings, varbyte_decode
+from search_engine_spark.operators.index_build import build_index, manifest_df
+
+
+def _decoded_postings(spark, index_dir) -> dict[str, list[tuple[int, int]]]:
+    rows = spark.read.parquet(f"{index_dir}/postings").collect()
+    acc: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        ids, tfs = decode_postings(bytes(r["doc_ids"]), bytes(r["tfs"]))
+        acc.setdefault(r["term"], []).extend(zip(ids.tolist(), tfs.tolist()))
+    return {t: sorted(v) for t, v in acc.items()}
+
+
+def test_corpus_stats(built_index, oracle_idx, spark):
+    out, res = built_index
+    assert res.n_docs == oracle_idx.n_docs
+    assert res.avgdl == pytest.approx(oracle_idx.avgdl, abs=1e-12)
+    assert res.max_tf_sum == oracle_idx.max_tf_sum
+
+
+def test_documents_row_invariant(built_index, oracle_idx, spark):
+    out, _ = built_index
+    docs = (
+        spark.read.parquet(f"{out}/documents")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = oracle_idx.documents
+    # per-turn text byte-equality under stable (conv_id, turn_idx) ordering
+    assert docs["text"].tolist() == exp["text"].tolist()
+    assert docs["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert docs["turn_idx"].astype(int).tolist() == exp["turn_idx"].astype(int).tolist()
+    assert docs["dl"].astype(int).tolist() == exp["dl"].astype(int).tolist()
+    # doc_id dense 0..n-1
+    assert docs["doc_id"].tolist() == list(range(len(exp)))
+
+
+def test_term_stats_match_oracle(built_index, oracle_idx, spark):
+    out, _ = built_index
+    got = (
+        spark.read.parquet(f"{out}/term_stats")
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    exp = oracle_idx.term_stats.sort_values("term").reset_index(drop=True)
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["df"].astype(int).tolist() == exp["df"].astype(int).tolist()
+    assert got["cf"].astype(int).tolist() == exp["cf"].astype(int).tolist()
+
+
+def test_postings_decode_match_oracle(built_index, oracle_idx, spark):
+    out, _ = built_index
+    got = _decoded_postings(spark, out)
+    exp = {t: sorted(pl) for t, pl in oracle_idx.postings.items()}
+    assert set(got) == set(exp)
+    for t in exp:
+        assert got[t] == exp[t], f"postings differ for term {t!r}"
+
+
+def test_posting_dls_match_doc_stats(built_index, oracle_idx, spark):
+    out, _ = built_index
+    rows = spark.read.parquet(f"{out}/postings").take(50)
+    for r in rows:
+        ids, _ = decode_postings(bytes(r["doc_ids"]), bytes(r["tfs"]))
+        dls = varbyte_decode(bytes(r["dls"])).astype(int)
+        for d, l in zip(ids.tolist(), dls.tolist()):
+            assert oracle_idx.doc_dl[d] == l
+
+
+def test_manifest_lineage(built_index, spark):
+    out, res = built_index
+    mdf = manifest_df(spark, out).toPandas()
+    parts = mdf[mdf["partition_id"] >= 0]
+    assert (parts["status"] == "DONE").all()
+    assert parts["postings_written"].sum() > 0
+    assert parts["bytes_compressed"].sum() > 0
+    assert parts["terms_merged"].min() > 0
+
+
+def test_kill_and_resume_identical(spark, transcripts_df, oracle_idx, tmp_path):
+    out = str(tmp_path / "idx_resume")
+    # simulate a job killed after 1 of 3 parts
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        build_index(
+            spark, transcripts_df, out, n_parts=3, resume=False,
+            fail_after_parts=1,
+        )
+    # resume: must skip the finished part and complete the rest
+    res = build_index(spark, transcripts_df, out, n_parts=3, resume=True)
+    assert res.parts_skipped == 1
+    assert res.parts_built == 2
+    got = _decoded_postings(spark, out)
+    exp = {t: sorted(pl) for t, pl in oracle_idx.postings.items()}
+    assert got == exp

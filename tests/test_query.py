@@ -1,0 +1,74 @@
+"""Top-k rank identity vs the pandas oracle over the fixed reference query
+set (tests/fixtures/queries.json; FIXTURES.md F4) — both scoring modes,
+conjunctive + disjunctive, pagination, df cutoff. Comparison is EXACT
+(doc_ids and float64 scores bit-equal) thanks to fixed accumulation order.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from search_engine_spark.oracle import oracle_search
+from search_engine_spark.operators.query import SearchEngine
+
+QUERIES = json.loads(
+    (Path(__file__).parent / "fixtures" / "queries.json").read_text()
+)["queries"]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_index):
+    out, _ = built_index
+    return SearchEngine(spark, out)
+
+
+@pytest.mark.parametrize("spec", QUERIES, ids=[q["name"] for q in QUERIES])
+@pytest.mark.parametrize("mode", ["bm25", "relevance_ref"])
+def test_rank_identity(spec, mode, engine, oracle_idx):
+    kwargs = dict(
+        k=spec.get("k", 10),
+        offset=spec.get("offset", 0),
+        max_df=spec.get("max_df"),
+        mode=mode,
+    )
+    got = engine.search_ids(spec["q"], **kwargs).toPandas().reset_index(drop=True)
+    exp = oracle_search(oracle_idx, spec["q"], **kwargs)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist(), spec["name"]
+    assert got["score"].tolist() == exp["score"].tolist(), spec["name"]
+
+
+@pytest.mark.parametrize("spec", QUERIES[:8], ids=[q["name"] for q in QUERIES[:8]])
+def test_rank_identity_disjunctive(spec, engine, oracle_idx):
+    got = (
+        engine.search_ids(spec["q"], k=10, conjunctive=False)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = oracle_search(oracle_idx, spec["q"], k=10, conjunctive=False)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+
+
+def test_full_search_projection(engine):
+    res = engine.search("token batch", k=5).toPandas()
+    assert list(res.columns) == ["doc_id", "conv_id", "turn_idx", "score", "snippet"]
+    assert len(res) <= 5
+    assert (res["score"] > 0).all()
+    # snippets highlight at least one query surface form
+    assert res["snippet"].str.contains("<b>").all()
+
+
+def test_pagination_slices_consistently(engine, oracle_idx):
+    full = engine.search_ids("query index", k=30).toPandas()
+    page2 = engine.search_ids("query index", k=10, offset=10).toPandas()
+    assert page2["doc_id"].tolist() == full["doc_id"].tolist()[10:20]
+
+
+def test_statistics(engine):
+    stats = engine.statistics().toPandas()
+    assert stats["n_docs"].sum() == engine.n_docs
+    assert set(stats["role"]) <= {"user", "assistant", "system", "tool"}
