@@ -1,0 +1,981 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair over the driver's testdata tables.
+
+Each Spark implementation and its ANSI-SQL oracle are generated from the
+SAME constants (term lists, thresholds, hash construction, float expression
+shapes), so results are bit-identical — verified by the driver's
+row-count + schema + value-hash compare at sf=0.01 (CORRECTNESS_r{N}.json).
+
+Float discipline (why the hashes match without rounding):
+- ln / sqrt / IEEE +-*/ are bit-identical across Spark JVM, DuckDB and
+  Python libm on this platform (verified empirically in tests).
+- every multi-term score sum is accumulated in an EXPLICIT fixed order
+  (CASE-pivot + left-to-right COALESCE chain) on both sides — never an
+  unordered SQL SUM over floats.
+- portable 60-bit hash = first 15 hex chars of md5, via Spark `conv` and a
+  generated base-16 Horner chain in SQL.
+
+Query groups:
+- core search-engine ops (SURVEY.md §2.1-2.7): hygiene filter, tokenize+tf,
+  term/doc/corpus stats, top-terms, source stats, any/conjunctive match,
+  BM25 top-k, reference TF-sum relevance (IndexRepository.java:14-20).
+- the real index engine end-to-end (build → varbyte postings → BM25 WAND
+  scoring) checked against the same SQL oracle — rank AND score identical.
+- training-data pipeline ops: exact dedup, n-gram jaccard pairs, MinHash
+  signatures + LSH candidate pairs, SimHash, embedding cosine top-k,
+  bucketed ANN, language-ID, quality scoring, token counts, fingerprints.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.analyzer import STOPWORDS, tokens_cte_sql, terms_col
+from .operators.index_build import B, K1, build_index, clean_transcripts
+from .operators.query import SearchEngine
+
+# ---------------------------------------------------------------------------
+# Fixed constants shared by Spark impls and SQL oracles
+# ---------------------------------------------------------------------------
+QUERY_TERMS = ("spark", "window", "customer")  # df-asc at sf0.01: 385/387/394
+RARE_QUERY_TERMS = ("dup", "spark")            # rare (df=25) + hot
+ANY_TERMS = ("vector", "stream", "filter")
+JACCARD_THRESHOLD = 0.95
+N_MINHASH = 16
+N_BANDS = 8          # bands of 2 rows each
+SIMHASH_BITS = 16
+ANN_SIGN_DIMS = 8
+TOPK = 10
+FP_MOD = 1_000_000_007
+BUILD_TAG = "v2"     # bump to invalidate cached /tmp indexes
+
+_WS = "[ \\t\\n\\r]+"  # explicit class: java regex \s and RE2 \s differ on \x0B
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "and", "is", "a", "of", "to"),
+    "es": ("el", "los", "y", "es", "que", "una"),
+    "fr": ("le", "la", "et", "est", "les", "une"),
+}
+_CJK = f"{chr(0x4E00)}-{chr(0x9FFF)}"
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB; `documents` is a pre-registered view)
+# ---------------------------------------------------------------------------
+def _base_ctes() -> str:
+    toks = tokens_cte_sql("documents")
+    return f"""
+toks AS ({toks}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (
+    SELECT d.doc_id, COALESCE(t.dl, 0) AS dl
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dft AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+"""
+
+
+def _hex2int_sql(hexpr: str) -> str:
+    """Base-16 Horner chain: first 15 hex chars of a 32-char md5 -> bigint.
+    Bit-identical to Spark conv(substring(md5(x),1,15),16,10)::long."""
+    parts = [
+        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _in_list(terms) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def _score_sql(mode: str) -> str:
+    """Per-(doc,term) partial score — expression order mirrors the engine's
+    numpy exactly (operators/query.py decode_score)."""
+    # NB: every float literal is ::DOUBLE — DuckDB parses bare 1.2 as
+    # DECIMAL and decimal-exact arithmetic diverges from IEEE by one ulp.
+    if mode == "bm25":
+        idf = ("ln(1 + (stats.n_docs - dft.df + 0.5::DOUBLE) / "
+               "(dft.df + 0.5::DOUBLE))")
+        return (
+            f"{idf} * (tf.tf * ({K1}::DOUBLE + 1)) / "
+            f"(tf.tf + {K1}::DOUBLE * (1 - {B}::DOUBLE + "
+            f"({B}::DOUBLE * dl.dl) / stats.avgdl))"
+        )
+    # relevance_ref: SUM(tf)/max_tf_sum (IndexRepository.java:14-20);
+    # max_tf_sum == max doc length since dl = sum of all tfs in the doc
+    return "tf.tf / (SELECT CAST(MAX(dl) AS DOUBLE) FROM dl)"
+
+
+def _topk_sql(terms_df_asc, mode: str, k: int = TOPK) -> str:
+    """CASE-pivot + fixed-order COALESCE sum + conjunctive filter + top-k."""
+    n = len(terms_df_asc)
+    cases = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms_df_asc)
+    )
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(n))
+    notnull = " AND ".join(f"s{i} IS NOT NULL" for i in range(n))
+    return f"""
+WITH {_base_ctes()},
+partials AS (
+    SELECT tf.doc_id, tf.term, {_score_sql(mode)} AS s
+    FROM tf
+    JOIN dft USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.term IN ({_in_list(terms_df_asc)})
+),
+pivoted AS (SELECT doc_id, {cases} FROM partials GROUP BY doc_id)
+SELECT doc_id, {total} AS score
+FROM pivoted
+WHERE {notnull}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shared Spark fragments
+# ---------------------------------------------------------------------------
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _toks(docs: DataFrame) -> DataFrame:
+    """(doc_id, term), one row per token occurrence — JVM-side analyzer
+    (whole-stage codegen; identical to the pandas-UDF path by test)."""
+    return docs.select("doc_id", F.explode(terms_col(F.col("text"))).alias("term"))
+
+
+def _tf(docs: DataFrame) -> DataFrame:
+    return _toks(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def _dl(docs: DataFrame) -> DataFrame:
+    """Per-doc token count INCLUDING zero-token docs (left join)."""
+    counts = _toks(docs).groupBy("doc_id").agg(F.count("*").alias("_c"))
+    return docs.select("doc_id").join(counts, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("_c"), F.lit(0)).alias("dl")
+    )
+
+
+def _hash_col(c) -> F.Column:
+    """Portable 60-bit hash (see _hex2int_sql)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _topk_spark(
+    spark: SparkSession, sf_dir: str, terms, mode: str, k: int = TOPK
+) -> DataFrame:
+    """DataFrame-native scoring pipeline (no posting index): tokenize → tf →
+    stats → fixed-order pivot sum → TakeOrderedAndProject top-k."""
+    docs = _docs(spark, sf_dir)
+    tf = _tf(docs)
+    dl = _dl(docs)
+    row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a"),
+                 F.max("dl").alias("m")).collect()[0]
+    n_docs, avgdl, max_dl = int(row["n"]), float(row["a"]), int(row["m"])
+
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tf.filter(F.col("term").isin(list(terms)))
+        .groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    ordered = sorted([t for t in terms if t in dfs], key=lambda t: (dfs[t], t))
+    if not ordered:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    part = tf.filter(F.col("term").isin(ordered)).join(dl, "doc_id")
+    if mode == "bm25":
+        idf = {t: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+               for t in ordered}
+        idf_col = F.create_map(
+            *[x for t in ordered for x in (F.lit(t), F.lit(idf[t]))]
+        )[F.col("term")]
+        s = (
+            idf_col * (F.col("tf") * F.lit(K1 + 1))
+            / (F.col("tf") + F.lit(K1) * (F.lit(1 - B) + (F.lit(B) * F.col("dl")) / F.lit(avgdl)))
+        )
+    else:
+        s = F.col("tf") / F.lit(float(max_dl))
+    part = part.select("doc_id", "term", s.alias("s"))
+
+    aggs = [
+        F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s{i}")
+        for i, t in enumerate(ordered)
+    ]
+    pivoted = part.groupBy("doc_id").agg(*aggs)
+    score = F.lit(None).cast("double")
+    score = F.coalesce(F.col("s0"), F.lit(0.0))
+    for i in range(1, len(ordered)):
+        score = score + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    cond = F.lit(True)
+    for i in range(len(ordered)):
+        cond = cond & F.col(f"s{i}").isNotNull()
+    return (
+        pivoted.filter(cond)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-engine path: adapt the driver's documents table to the transcript
+# input shape (BASELINE.json input_hint), build the inverted index once per
+# sf_dir (cached in /tmp, manifest-resumable), query it.
+# ---------------------------------------------------------------------------
+def _index_dir(sf_dir: str) -> str:
+    key = hashlib.md5(f"{BUILD_TAG}:{sf_dir}".encode()).hexdigest()[:10]
+    return f"/tmp/ses_index_{key}"
+
+
+def documents_as_transcripts(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) -> transcripts(conv_id, turn_idx, ...).
+    One synthetic conversation; turn_idx = original doc_id, so the engine's
+    dense doc_id order equals the original order (stable tie-breaks)."""
+    return docs.select(
+        F.lit("corpus").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    out = _index_dir(sf_dir)
+    build_index(
+        spark,
+        documents_as_transcripts(_docs(spark, sf_dir)),
+        out,
+        resume=True,  # no-op when the manifest says every stage is DONE
+    )
+    return out
+
+
+def _engine_topk(
+    spark: SparkSession, sf_dir: str, terms, mode: str, k: int = TOPK
+) -> DataFrame:
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    ids = eng.search_ids(" ".join(terms), k=k, mode=mode)
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Individual queries — core relational ops
+# ---------------------------------------------------------------------------
+def q_clean_docs(spark, sf_dir):
+    """P1 hygiene filter + P6 projection (EntitySaver.java:51 analog)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(
+            F.col("text").isNotNull()
+            & (F.regexp_replace(F.col("text"), r"\s", "") != "")
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_CLEAN_DOCS = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE text IS NOT NULL AND regexp_replace(text, '\\s', '', 'g') <> ''
+"""
+
+
+def q_tokenize_tf(spark, sf_dir):
+    """A1/T3: per-(doc, term) term frequency (LemmaFinderImpl.java:19-39)."""
+    return _tf(_docs(spark, sf_dir)).select("doc_id", "term", "tf")
+
+
+SQL_TOKENIZE_TF = f"WITH {_base_ctes()} SELECT doc_id, term, tf FROM tf"
+
+
+def q_term_stats(spark, sf_dir):
+    """A2: term dictionary — df (EntitySaver.java:88-101 semantics) + cf."""
+    return (
+        _tf(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+SQL_TERM_STATS = f"WITH {_base_ctes()} SELECT term, df, cf FROM dft"
+
+
+def q_doc_stats(spark, sf_dir):
+    """A3: per-doc token count dl (BM25 doc length; IndexRepository.java:14)."""
+    return _dl(_docs(spark, sf_dir))
+
+
+SQL_DOC_STATS = f"WITH {_base_ctes()} SELECT doc_id, dl FROM dl"
+
+
+def q_corpus_stats(spark, sf_dir):
+    """A4: global scalars (n_docs, avgdl, max_dl)."""
+    return _dl(_docs(spark, sf_dir)).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.max("dl").alias("max_dl"),
+    )
+
+
+SQL_CORPUS_STATS = (
+    f"WITH {_base_ctes()} "
+    "SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, MAX(dl) AS max_dl FROM dl"
+)
+
+
+def q_top_terms(spark, sf_dir):
+    """O1-O3: terms by df desc (reference orders ASC for scheduling —
+    LemmaRepository.java:20; the report view shows the head)."""
+    return (
+        q_term_stats(spark, sf_dir)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+SQL_TOP_TERMS = (
+    f"WITH {_base_ctes()} SELECT term, df, cf FROM dft "
+    "ORDER BY df DESC, term ASC LIMIT 20"
+)
+
+
+def q_source_stats(spark, sf_dir):
+    """A6: per-source doc + token counts (StatisticsServiceImpl.java:69-77)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.join(_dl(docs), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("n_tokens"))
+    )
+
+
+SQL_SOURCE_STATS = f"""
+WITH {_base_ctes()}
+SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(dl.dl) AS BIGINT) AS n_tokens
+FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+GROUP BY 1
+"""
+
+
+def q_any_match(spark, sf_dir):
+    """J1: disjunctive candidate retrieval (PageRepository.java:24-29)."""
+    return (
+        _tf(_docs(spark, sf_dir))
+        .filter(F.col("term").isin(list(ANY_TERMS)))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").alias("sum_tf"),
+        )
+    )
+
+
+SQL_ANY_MATCH = f"""
+WITH {_base_ctes()}
+SELECT doc_id, COUNT(DISTINCT term) AS n_terms, CAST(SUM(tf) AS BIGINT) AS sum_tf
+FROM tf WHERE term IN ({_in_list(ANY_TERMS)}) GROUP BY 1
+"""
+
+
+def q_conjunctive_match(spark, sf_dir):
+    """J2/U2: docs containing ALL query terms (SearchServiceImpl.java:155-168
+    loop → one groupBy-having shuffle)."""
+    n = len(QUERY_TERMS)
+    return (
+        _tf(_docs(spark, sf_dir))
+        .filter(F.col("term").isin(list(QUERY_TERMS)))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_terms"))
+        .filter(F.col("n_terms") == n)
+        .select("doc_id")
+    )
+
+
+SQL_CONJUNCTIVE = f"""
+WITH {_base_ctes()}
+SELECT doc_id FROM tf WHERE term IN ({_in_list(QUERY_TERMS)})
+GROUP BY 1 HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k, DataFrame-native pipeline (fixed-order float sum)."""
+    return _topk_spark(spark, sf_dir, QUERY_TERMS, "bm25")
+
+
+def q_relevance_ref_topk(spark, sf_dir):
+    """Reference TF-sum relevance (IndexRepository.java:14-20) top-k."""
+    return _topk_spark(spark, sf_dir, QUERY_TERMS, "relevance_ref")
+
+
+def q_engine_bm25_topk(spark, sf_dir):
+    """The REAL engine end-to-end: index build (delta+varbyte postings,
+    salting, manifest) → BM25 scoring over decoded blocks → top-k.
+    Must match the same SQL oracle as q_bm25_topk — score-identical."""
+    return _engine_topk(spark, sf_dir, QUERY_TERMS, "bm25")
+
+
+def q_engine_rare_topk(spark, sf_dir):
+    """Engine top-k for a rare+hot query (df-asc ordering, O1)."""
+    return _engine_topk(spark, sf_dir, RARE_QUERY_TERMS, "bm25")
+
+
+def q_engine_relevance_ref(spark, sf_dir):
+    """Engine top-k in reference-parity scoring mode."""
+    return _engine_topk(spark, sf_dir, QUERY_TERMS, "relevance_ref")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) groups → representative + copy count."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs by token-SET jaccard >= threshold. Exact quadratic
+    candidate generation via self-join on shared terms — correctness
+    baseline; the LSH path (q_lsh_pairs) is the at-scale strategy."""
+    s = _toks(_docs(spark, sf_dir)).distinct()
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("i") * F.lit(1.0)) / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH {_base_ctes()},
+s AS (SELECT DISTINCT doc_id, term FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM s a JOIN s b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, (i * 1.0) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (i * 1.0) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_aggs():
+    return [
+        F.min(_hash_col(F.concat(F.col("term"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def q_minhash_sigs(spark, sf_dir):
+    """MinHash signatures (k=16) over distinct-term sets — one groupBy."""
+    s = _toks(_docs(spark, sf_dir)).distinct()
+    return s.groupBy("doc_id").agg(*_minhash_aggs())
+
+
+def _sql_minhash_core() -> str:
+    mins = ", ".join(
+        "MIN({h}) AS mh{i}".format(h=_hex2int_sql(f"md5(term || '#{i}')"), i=i)
+        for i in range(N_MINHASH)
+    )
+    return f"""
+s AS (SELECT DISTINCT doc_id, term FROM toks),
+sigs AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id)
+"""
+
+
+SQL_MINHASH_SIGS = (
+    f"WITH {_base_ctes()}, {_sql_minhash_core()} SELECT * FROM sigs"
+)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: 8 bands × 2 rows; pairs sharing any
+    band bucket, with estimated jaccard = matching minhashes / 16.
+    At scale this replaces the quadratic self-join: the explode+groupBy on
+    (band, bucket) shuffles O(n_docs * n_bands) rows only."""
+    sigs = q_minhash_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.col(f"mh{2 * j}").alias("x"),
+                    F.col(f"mh{2 * j + 1}").alias("y"),
+                )
+                for j in range(N_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.x", "b.y")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.y") == F.col("b.y"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    s2 = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(s1, "doc_a").join(s2, "doc_b")
+        .select("doc_a", "doc_b",
+                (matches / F.lit(float(N_MINHASH))).alias("est_jaccard"))
+    )
+
+
+def _sql_lsh_pairs() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, mh{2 * j} AS x, mh{2 * j + 1} AS y FROM sigs"
+        for j in range(N_BANDS)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+WITH {_base_ctes()}, {_sql_minhash_core()},
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({match_expr}) / {float(N_MINHASH)} AS est_jaccard
+FROM cand
+JOIN sigs s1 ON cand.doc_a = s1.doc_id
+JOIN sigs s2 ON cand.doc_b = s2.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash (16-bit) over tf-weighted term hashes."""
+    tf = _tf(_docs(spark, sf_dir)).withColumn("h", _hash_col(F.col("term")))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tf.groupBy("doc_id").agg(*bit_sums)
+    sim = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    h = _hex2int_sql("md5(term)")
+    vs = ", ".join(
+        f"SUM(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_base_ctes()},
+agg AS (SELECT doc_id, {vs} FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint from distinct-term hashes:
+    (min, max, sum mod p) — cheap sketch for shard-local dedup triage."""
+    s = _toks(_docs(spark, sf_dir)).distinct()
+    h = _hash_col(F.col("term"))
+    return s.groupBy("doc_id").agg(
+        F.min(h).alias("fp_min"),
+        F.max(h).alias("fp_max"),
+        F.sum(h % F.lit(FP_MOD)).alias("fp_sum"),
+    )
+
+
+def _sql_fingerprint() -> str:
+    h = _hex2int_sql("md5(term)")
+    return f"""
+WITH {_base_ctes()},
+s AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT doc_id, MIN({h}) AS fp_min, MAX({h}) AS fp_max,
+       CAST(SUM(({h}) % {FP_MOD}) AS BIGINT) AS fp_sum
+FROM s GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def _dot(a, b) -> F.Column:
+    """Sequential left fold — bit-identical to DuckDB list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector — the exact
+    baseline every ANN variant is judged against."""
+    q = _query_vec(spark, sf_dir)
+    qnorm = 0.0
+    for x in q:
+        qnorm += x * x
+    qnorm = math.sqrt(qnorm)
+    qcol = F.array(*[F.lit(x) for x in q])
+    e = _emb(spark, sf_dir)
+    sim = _dot(F.col("embedding"), qcol) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
+    )
+    return (
+        e.select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       list_dot_product(embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))) AS sim
+FROM embeddings CROSS JOIN q
+ORDER BY sim DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+def _bucket_col(c) -> F.Column:
+    out = F.lit(0)
+    for i in range(ANN_SIGN_DIMS):
+        out = out + F.when(F.element_at(c, i + 1) > 0, F.lit(1 << i)).otherwise(0)
+    return out
+
+
+def q_ann_bucketed(spark, sf_dir):
+    """Bucketed ANN: sign-LSH on the first 8 dims partitions the corpus into
+    256 buckets; search only the query's bucket. At 100 TB the bucket is a
+    partition-pruned scan instead of a full pass (recall traded for locality;
+    q_cosine_topk is the exact reference)."""
+    q = _query_vec(spark, sf_dir)
+    qbucket = 0
+    for i in range(ANN_SIGN_DIMS):
+        if q[i] > 0:
+            qbucket += 1 << i
+    qnorm = 0.0
+    for x in q:
+        qnorm += x * x
+    qnorm = math.sqrt(qnorm)
+    qcol = F.array(*[F.lit(x) for x in q])
+    e = _emb(spark, sf_dir).filter(_bucket_col(F.col("embedding")) == qbucket)
+    sim = _dot(F.col("embedding"), qcol) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
+    )
+    return (
+        e.select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def _sql_ann_bucketed() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(ANN_SIGN_DIMS)
+    )
+    return f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv, ({bucket}) AS qb
+    FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       list_dot_product(embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))) AS sim
+FROM embeddings CROSS JOIN q
+WHERE ({bucket}) = qb
+ORDER BY sim DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis ops
+# ---------------------------------------------------------------------------
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID: marker-stopword hit counts per language +
+    CJK character count; argmax with (count desc, lang asc) tie-break."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), _WS)
+    cjk = F.length(F.regexp_replace(F.col("text"), f"[^{_CJK}]", ""))
+    def _marker_count(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        F.struct(F.lit("zh").alias("lang"), cjk.cast("long").alias("cnt"))
+    ] + [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            _marker_count(markers).cast("long").alias("cnt"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    exploded = docs.select(
+        "doc_id", F.explode(F.array(*scores)).alias("s")
+    ).select("doc_id", "s.lang", "s.cnt")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("lang"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"))
+    )
+
+
+def _sql_lang_id() -> str:
+    selects = [
+        "SELECT doc_id, 'zh' AS lang, "
+        f"CAST(length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS BIGINT) AS cnt "
+        "FROM documents"
+    ]
+    for lang, markers in LANG_MARKERS.items():
+        lst = _in_list(markers)
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"CAST(len(list_filter(string_split_regex(lower(text), '{_WS}'), "
+            f"t -> t IN ({lst}))) AS BIGINT) AS cnt FROM documents"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH scores AS ({union}),
+ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang ASC) AS rn
+    FROM scores
+)
+SELECT doc_id, lang AS lang_pred FROM ranked WHERE rn = 1
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: alpha ratio + stopword ratio -> linear score.
+    All inputs are exact integer counts; divisions are IEEE-exact."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != F.lit(""))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    n_chars_c = F.length(F.col("text"))
+    alpha_ratio = n_alpha * F.lit(1.0) / n_chars_c
+    stop_ratio = n_stop * F.lit(1.0) / n_tok
+    quality = (alpha_ratio + stop_ratio) / F.lit(2.0)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def _sql_quality() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '{_WS}'), t -> t <> '')) AS n_tok,
+           len(list_filter(string_split_regex(lower(text), '{_WS}'),
+               t -> t <> '' AND t IN ({stops}))) AS n_stop,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(text) AS n_c
+    FROM documents
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       n_alpha * 1.0 / n_c AS alpha_ratio,
+       n_stop * 1.0 / n_tok AS stop_ratio,
+       (n_alpha * 1.0 / n_c + n_stop * 1.0 / n_tok) / 2.0 AS quality
+FROM base
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: raw whitespace tokens vs analyzer terms vs distinct."""
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.filter(F.split(F.col("text"), _WS), lambda t: t != F.lit("")))
+    terms = terms_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        F.size(terms).cast("long").alias("n_terms"),
+        F.size(F.array_distinct(terms)).cast("long").alias("n_unique_terms"),
+    )
+
+
+def _sql_token_counts() -> str:
+    toks = tokens_cte_sql("documents")
+    return f"""
+WITH toks AS ({toks}),
+t AS (
+    SELECT doc_id, COUNT(*) AS n_terms, COUNT(DISTINCT term) AS n_unique_terms
+    FROM toks GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(list_filter(string_split_regex(d.text, '{_WS}'), x -> x <> '')) AS BIGINT)
+           AS n_ws_tokens,
+       COALESCE(t.n_terms, 0) AS n_terms,
+       COALESCE(t.n_unique_terms, 0) AS n_unique_terms
+FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible (rows-only checks)
+# ---------------------------------------------------------------------------
+def q_search_snippets(spark, sf_dir):
+    """Engine search with snippet highlighting (T8, SnippetCreator.java:22-37
+    parity) — pandas-UDF path, rows-only check."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    return eng.search(" ".join(QUERY_TERMS), k=TOPK)
+
+
+def q_build_manifest(spark, sf_dir):
+    """Per-partition build lineage + metrics (north-rule checkpoint state)."""
+    from .operators.index_build import manifest_df
+
+    return manifest_df(spark, ensure_index(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "clean_docs": q_clean_docs,
+    "tokenize_tf": q_tokenize_tf,
+    "term_stats": q_term_stats,
+    "doc_stats": q_doc_stats,
+    "corpus_stats": q_corpus_stats,
+    "top_terms": q_top_terms,
+    "source_stats": q_source_stats,
+    "any_match": q_any_match,
+    "conjunctive_match": q_conjunctive_match,
+    "bm25_topk": q_bm25_topk,
+    "relevance_ref_topk": q_relevance_ref_topk,
+    "engine_bm25_topk": q_engine_bm25_topk,
+    "engine_rare_topk": q_engine_rare_topk,
+    "engine_relevance_ref": q_engine_relevance_ref,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_sigs": q_minhash_sigs,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "ann_bucketed": q_ann_bucketed,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "search_snippets": q_search_snippets,
+    "build_manifest": q_build_manifest,
+}
+
+
+def _oracle_terms_sorted() -> list[str]:
+    # df-asc order at sf0.01 (the driver's correctness scale), hardcoded so
+    # the SQL accumulation order matches the engine's df-asc pivot order.
+    return list(QUERY_TERMS)
+
+
+ORACLES: dict[str, str] = {
+    "clean_docs": SQL_CLEAN_DOCS,
+    "tokenize_tf": SQL_TOKENIZE_TF,
+    "term_stats": SQL_TERM_STATS,
+    "doc_stats": SQL_DOC_STATS,
+    "corpus_stats": SQL_CORPUS_STATS,
+    "top_terms": SQL_TOP_TERMS,
+    "source_stats": SQL_SOURCE_STATS,
+    "any_match": SQL_ANY_MATCH,
+    "conjunctive_match": SQL_CONJUNCTIVE,
+    "bm25_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
+    "relevance_ref_topk": _topk_sql(_oracle_terms_sorted(), "relevance_ref"),
+    "engine_bm25_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
+    "engine_rare_topk": _topk_sql(list(RARE_QUERY_TERMS), "bm25"),
+    "engine_relevance_ref": _topk_sql(_oracle_terms_sorted(), "relevance_ref"),
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "minhash_sigs": SQL_MINHASH_SIGS,
+    "lsh_pairs": _sql_lsh_pairs(),
+    "simhash": _sql_simhash(),
+    "doc_fingerprint": _sql_fingerprint(),
+    "cosine_topk": SQL_COSINE_TOPK,
+    "ann_bucketed": _sql_ann_bucketed(),
+    "lang_id": _sql_lang_id(),
+    "quality_score": _sql_quality(),
+    "token_counts": _sql_token_counts(),
+    # search_snippets, build_manifest: non-SQL-expressible → rows-only
+}
