@@ -183,8 +183,12 @@ def _topk_spark(
     """DataFrame-native scoring pipeline (no posting index): tokenize → tf →
     stats → fixed-order pivot sum → TakeOrderedAndProject top-k."""
     docs = _docs(spark, sf_dir)
-    tf = _tf(docs)
-    dl = _dl(docs)
+    # materialize tf once (localCheckpoint): stats collection + scoring all
+    # derive from it, so the tokenize+explode shuffle runs exactly once
+    tf = _tf(docs).localCheckpoint()
+    dl = docs.select("doc_id").join(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("_c")), "doc_id", "left"
+    ).select("doc_id", F.coalesce(F.col("_c"), F.lit(0)).alias("dl"))
     row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a"),
                  F.max("dl").alias("m")).collect()[0]
     n_docs, avgdl, max_dl = int(row["n"]), float(row["a"]), int(row["m"])

@@ -41,7 +41,7 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -86,10 +86,11 @@ def clean_transcripts(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Dense doc_id in global (conv_id, turn_idx) order — scalable two-pass:
-    range-shuffle + sortWithinPartitions, per-partition counts prefix-summed
-    on the driver, ids assigned in mapInPandas. No global sort bottleneck.
+def assign_doc_ids(df: DataFrame, spark: SparkSession, base: int = 0) -> DataFrame:
+    """Dense doc_id (starting at ``base``) in global (conv_id, turn_idx)
+    order — scalable two-pass: range-shuffle + sortWithinPartitions,
+    per-partition counts prefix-summed on the driver, ids assigned in
+    mapInPandas. No global sort bottleneck.
     """
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
@@ -101,10 +102,11 @@ def assign_doc_ids(df: DataFrame, spark: SparkSession) -> DataFrame:
     counts = {r["_pid"]: r["cnt"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
-    acc = 0
+    acc = base
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    total = acc - base
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
@@ -123,7 +125,7 @@ def assign_doc_ids(df: DataFrame, spark: SparkSession) -> DataFrame:
             yield pdf
 
     result = ranged.mapInPandas(_assign, schema=out_schema)
-    return result, ranged  # caller unpersists `ranged`
+    return result, ranged, total  # caller unpersists `ranged`
 
 
 def _manifest_path(out_dir: str) -> Path:
@@ -253,7 +255,7 @@ def build_index(
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         t0 = time.time()
         clean = clean_transcripts(transcripts)
-        with_ids, ranged = assign_doc_ids(clean, spark)
+        with_ids, ranged, n_docs = assign_doc_ids(clean, spark)
         analyzed = with_ids.withColumn("terms", _terms_udf()(F.col("text")))
         analyzed = analyzed.withColumn("dl", F.size("terms")).persist()
 
@@ -262,7 +264,6 @@ def build_index(
         )
         documents.write.mode("overwrite").parquet(docs_path)
 
-        n_docs = spark.read.parquet(docs_path).count()
         part_size = max(1, math.ceil(n_docs / n_parts))
         exploded = (
             analyzed.select("doc_id", "dl", F.explode("terms").alias("term"))
@@ -363,21 +364,22 @@ def build_index(
             lambda key, pdf: encoder(key, pdf), schema=schemas.POSTINGS
         )
         part_dir = f"{postings_path}/part_id={p}"
-        encoded.write.mode("overwrite").partitionBy("bucket").parquet(part_dir)
-
-        # lineage metrics from the written part (cheap re-read of one part)
-        m = (
-            spark.read.parquet(part_dir)
-            .agg(
-                F.sum("n").alias("postings_written"),
-                F.countDistinct("term").alias("terms_merged"),
-                F.sum(
-                    F.length("doc_ids") + F.length("tfs") + F.length("dls")
-                ).alias("bytes_compressed"),
-                F.count("*").alias("blocks"),
-            )
-            .collect()[0]
+        # lineage metrics piggy-back on the write action (Observation) —
+        # no second pass over the encoded part
+        obs = Observation(f"part_{p}")
+        encoded = encoded.observe(
+            obs,
+            F.sum("n").alias("postings_written"),
+            # observed metrics forbid DISTINCT aggregates; HLL approximation
+            # is fine for lineage metadata
+            F.approx_count_distinct("term").alias("terms_merged"),
+            F.sum(
+                F.length("doc_ids") + F.length("tfs") + F.length("dls")
+            ).alias("bytes_compressed"),
+            F.count(F.lit(1)).alias("blocks"),
         )
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(part_dir)
+        m = obs.get
         _write_manifest_row(
             out_dir,
             name,

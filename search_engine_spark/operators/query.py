@@ -94,22 +94,64 @@ class SearchEngine:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     # ------------------------------------------------------------------
+    # Block skipping (the distributed analog of WAND pointer advance,
+    # SURVEY.md §7.3): under conjunctive semantics every match must fall in
+    # a doc_id range covered by the RAREST term's blocks. Collect those
+    # ranges (few — df-ascending order O1 makes term 0 the rarest), merge
+    # them, and (a) push an OR-of-ranges filter into the parquet scan so
+    # row-group min/max stats skip hot-term blocks entirely, (b) mask
+    # decoded doc_ids to the ranges so pruned docs never enter the shuffle.
+    PRUNE_MAX_RARE_BLOCKS = 4096   # skip pruning when the rarest term is hot
+    PRUNE_MAX_FILTER_RANGES = 64   # OR-chain size Catalyst handles happily
+
+    def _rare_term_ranges(self, rare: TermInfo) -> list[tuple[int, int]] | None:
+        rows = (
+            self.postings.filter(F.col("term") == rare.term)
+            .select("first_doc_id", "last_doc_id")
+            .limit(self.PRUNE_MAX_RARE_BLOCKS + 1)
+            .collect()
+        )
+        if not rows or len(rows) > self.PRUNE_MAX_RARE_BLOCKS:
+            return None
+        spans = sorted((int(r["first_doc_id"]), int(r["last_doc_id"])) for r in rows)
+        merged = [spans[0]]
+        for lo, hi in spans[1:]:
+            if lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return merged
+
     def candidate_scores(
         self,
         infos: list[TermInfo],
         mode: str = "bm25",
+        conjunctive: bool = True,
     ) -> DataFrame:
         """Decode matching posting blocks -> (doc_id, order, s) partial
-        scores. Partition-pruned by bucket, row-group pruned by term."""
+        scores. Partition-pruned by bucket, row-group pruned by term and
+        (conjunctive) by rarest-term doc_id ranges."""
         terms = [ti.term for ti in infos]
         params = {
             ti.term: (ti.order, self._idf(ti.df)) for ti in infos
         }
         n_docs, avgdl, max_tf_sum = self.n_docs, self.avgdl, self.max_tf_sum
 
-        blocks = self.postings.filter(F.col("term").isin(terms)).select(
-            "term", "doc_ids", "tfs", "dls"
-        )
+        ranges = None
+        if conjunctive and len(infos) > 1:
+            ranges = self._rare_term_ranges(infos[0])
+
+        blocks = self.postings.filter(F.col("term").isin(terms))
+        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
+            overlap = None
+            for lo, hi in ranges:
+                c = (F.col("first_doc_id") <= hi) & (F.col("last_doc_id") >= lo)
+                overlap = c if overlap is None else (overlap | c)
+            blocks = blocks.filter(overlap)
+        blocks = blocks.select("term", "doc_ids", "tfs", "dls")
+
+        lo_arr = np.array([r[0] for r in ranges], dtype=np.int64) if ranges else None
+        hi_arr = np.array([r[1] for r in ranges], dtype=np.int64) if ranges else None
 
         out_schema = T.StructType(
             [
@@ -129,10 +171,26 @@ class SearchEngine:
                 ):
                     order, idf = params[term]
                     ids, tfs = decode_postings(bytes(ids_buf), bytes(tfs_buf))
+                    if lo_arr is not None:
+                        # mask to rarest-term ranges (lossless under
+                        # conjunction) so pruned docs never hit the shuffle
+                        pos = np.searchsorted(lo_arr, ids, side="right") - 1
+                        keep = (pos >= 0) & (ids <= hi_arr[np.clip(pos, 0, None)])
+                        if not keep.all():
+                            ids, tfs = ids[keep], tfs[keep]
+                            dls_keep = keep
+                        else:
+                            dls_keep = None
+                    else:
+                        dls_keep = None
+                    if ids.size == 0:
+                        continue
                     if mode == "bm25":
                         from ..functions.codec import varbyte_decode
 
                         dls = varbyte_decode(bytes(dls_buf)).astype(np.float64)
+                        if dls_keep is not None:
+                            dls = dls[dls_keep]
                         denom = tfs + K1 * (1 - B + B * dls / avgdl)
                         s = idf * (tfs * (K1 + 1)) / denom
                     else:  # relevance_ref (IndexRepository.java:14-20)
@@ -175,7 +233,7 @@ class SearchEngine:
         if not infos:
             return empty
 
-        partials = self.candidate_scores(infos, mode=mode)
+        partials = self.candidate_scores(infos, mode=mode, conjunctive=conjunctive)
         n = len(infos)
         # pivot to one column per term (values are single partial scores,
         # so the pivot-sum is exact), then combine left-to-right in

@@ -1,0 +1,85 @@
+"""Incremental update: full rebuild vs base-build + incremental batch must
+be query-equivalent (same BM25 scores per (conv_id, turn_idx)), and the
+merge must be idempotent (replaying a batch is a no-op).
+
+Mirrors the reference's indexPage upsert semantics
+(IndexationServiceImpl.java:119-131) minus its df-drift bug
+(EntitySaver.java:88-101; SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.incremental import incremental_update
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.synth import make_transcripts
+
+
+@pytest.fixture(scope="module")
+def split_corpora(spark, tmp_path_factory):
+    pdf = make_transcripts(n_conversations=80, seed=21)
+    convs = sorted(pdf["conv_id"].unique())
+    cut = convs[len(convs) // 2]
+    base_pdf = pdf[pdf["conv_id"] < cut]
+    extra_pdf = pdf[pdf["conv_id"] >= cut]
+    d = tmp_path_factory.mktemp("incr")
+    full_dir, base_dir = str(d / "full"), str(d / "base")
+
+    def to_sdf(p):
+        p = p.copy()
+        p["ts"] = p["ts"].astype("datetime64[us]")
+        return spark.createDataFrame(p)
+
+    full_sdf, base_sdf, extra_sdf = to_sdf(pdf), to_sdf(base_pdf), to_sdf(extra_pdf)
+    build_index(spark, full_sdf, full_dir, n_parts=2, resume=False)
+    build_index(spark, base_sdf, base_dir, n_parts=2, resume=False)
+    return full_dir, base_dir, extra_sdf
+
+
+def _scores(spark, idx, query, k=20):
+    eng = SearchEngine(spark, idx)
+    ids = eng.search_ids(query, k=k)
+    return {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in ids.join(eng.documents.select("doc_id", "conv_id", "turn_idx"),
+                          "doc_id").collect()
+    }
+
+
+def test_incremental_matches_full_rebuild(spark, split_corpora):
+    full_dir, base_dir, extra_sdf = split_corpora
+    res = incremental_update(spark, extra_sdf, base_dir)
+    assert res["new_docs"] > 0 and res["new_parts"] == 1
+
+    for q in ["token batch", "query", "merge shard"]:
+        full = _scores(spark, full_dir, q)
+        incr = _scores(spark, base_dir, q)
+        assert full.keys() == incr.keys(), q
+        for key in full:
+            assert full[key] == pytest.approx(incr[key], rel=0, abs=0), (q, key)
+
+    # corpus stats recomputed globally (drift-free df)
+    full_stats = spark.read.parquet(f"{full_dir}/term_stats")
+    incr_stats = spark.read.parquet(f"{base_dir}/term_stats")
+    a = {r["term"]: (r["df"], r["cf"]) for r in full_stats.collect()}
+    b = {r["term"]: (r["df"], r["cf"]) for r in incr_stats.collect()}
+    assert a == b
+
+
+def test_incremental_idempotent(spark, split_corpora):
+    _, base_dir, extra_sdf = split_corpora
+    res = incremental_update(spark, extra_sdf, base_dir)  # replay
+    assert res == {"new_docs": 0, "new_parts": 0}
+
+
+def test_incremental_requires_index(spark, tmp_path, split_corpora):
+    _, _, extra_sdf = split_corpora
+    empty = str(tmp_path / "noidx")
+    shutil.rmtree(empty, ignore_errors=True)
+    with pytest.raises(ValueError, match="no complete index"):
+        incremental_update(spark, extra_sdf, empty)
