@@ -112,18 +112,20 @@ def lemmatize_series(tokens: pd.Series) -> pd.Series:
 
 
 def analyze_series(texts: pd.Series) -> pd.Series:
-    """Series[str] -> Series[list[str]] — vectorized analyzer for UDFs."""
+    """Series[str] -> Series[list[str]] — vectorized analyzer for UDFs.
+    The list rebuild is np.split at bincount boundaries (C path), not a
+    python-level groupby-agg — this is the hot loop of the index build."""
     s = texts.fillna("").astype(str).str.lower()
     s = s.str.replace(_NONWORD_RE, " ", regex=True).str.strip()
+    s = s.reset_index(drop=True)
     exploded = s.str.split(" ").explode()
     mask = exploded.notna() & (exploded != "") & ~exploded.isin(_STOPSET)
     kept = exploded[mask]
     if len(kept):
         kept = lemmatize_series(kept)
-    regrouped = kept.groupby(level=0).agg(list)
-    return regrouped.reindex(s.index).apply(
-        lambda v: v if isinstance(v, list) else []
-    )
+    counts = np.bincount(kept.index.to_numpy(np.int64), minlength=len(s))
+    parts = np.split(kept.to_numpy(), np.cumsum(counts)[:-1])
+    return pd.Series([p.tolist() for p in parts], index=texts.index)
 
 
 # --------------------------------------------------------------------------

@@ -53,6 +53,50 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_sliced(
+    values: np.ndarray, starts: np.ndarray
+) -> list[bytes]:
+    """Encode ONE array, slice the flat buffer at value boundaries
+    ``starts`` (ascending, starts[0] == 0) -> one bytes object per slice.
+
+    Equivalent to ``[varbyte_encode(values[a:b]) for a, b in pairs]`` but
+    the width/scatter passes run once over the whole array — this is what
+    makes per-block encoding cheap when a term group spans thousands of
+    blocks (vectorization amortizes over the group, not the block).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    widths = np.ones(v.size, dtype=np.int64)
+    thresh = np.uint64(1 << 7)
+    w = v >> np.uint64(7)
+    while True:
+        mask = w > 0
+        if not mask.any():
+            break
+        widths[mask] += 1
+        w = w >> np.uint64(7)
+    del thresh
+    ends = np.cumsum(widths)
+    starts_b = ends - widths
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    max_w = int(widths.max())
+    for j in range(max_w):
+        sel = widths > j
+        idx = starts_b[sel] + j
+        chunk = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        is_last = widths[sel] == (j + 1)
+        out[idx] = chunk.astype(np.uint8) | np.where(is_last, 0, 0x80).astype(
+            np.uint8
+        )
+    flat = out.tobytes()
+    s = np.asarray(starts, dtype=np.int64)
+    byte_lo = np.where(s == 0, 0, ends[np.maximum(s, 1) - 1])
+    byte_hi = np.concatenate((byte_lo[1:], [total]))
+    return [flat[a:b] for a, b in zip(byte_lo.tolist(), byte_hi.tolist())]
+
+
 def varbyte_decode(buf: bytes) -> np.ndarray:
     """Decode VByte bytes back to a uint64 array. Vectorized."""
     b = np.frombuffer(buf, dtype=np.uint8)

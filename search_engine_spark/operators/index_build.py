@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.analyzer import analyze_series, terms_col
-from ..functions.codec import varbyte_encode
+from ..functions.codec import varbyte_encode_sliced
 from .. import schemas
 
 K1 = 1.2
@@ -75,8 +75,18 @@ def _terms_udf():
     return _analyze
 
 
+def conform_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Cast input to the declared TRANSCRIPTS schema (schema-on-write) so
+    every writer produces identical parquet physical types regardless of
+    how the caller materialized the batch (pandas int64 vs int32, etc.)."""
+    return transcripts.select(
+        *[F.col(f.name).cast(f.dataType) for f in schemas.TRANSCRIPTS.fields]
+    )
+
+
 def clean_transcripts(transcripts: DataFrame) -> DataFrame:
     """P1 hygiene: only non-blank turns are indexed (EntitySaver.java:51)."""
+    transcripts = conform_transcripts(transcripts)
     # NB: regexp-based blank test, not trim() — Spark trim strips only
     # ASCII space while the contract (and the pandas oracle) treats any
     # whitespace-only text as blank.
@@ -180,7 +190,9 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def _make_encoder(n_docs: int, avgdl: float, block_size: int):
     """Grouped-map encoder: one (term, part, salt) group -> posting block
-    rows. All array math is numpy; the only Python loop is per-block."""
+    rows. Fully vectorized over the WHOLE group: one delta pass, one
+    varbyte pass per array (sliced at block boundaries), reduceat for the
+    per-block maxima — no per-block Python loop."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term = key[0]
@@ -192,32 +204,35 @@ def _make_encoder(n_docs: int, avgdl: float, block_size: int):
         df_t = int(pdf["df"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
         idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-        rows = []
-        for i in range(0, len(ids), block_size):
-            d = ids[i : i + block_size]
-            t = tfs[i : i + block_size]
-            l = dls[i : i + block_size]
-            denom = t + K1 * (1 - B + B * l / avgdl)
-            bscores = idf * (t * (K1 + 1)) / denom
-            rows.append(
-                (
-                    term,
-                    salt * BLOCKS_PER_SALT_CAP + i // block_size,
-                    int(d.size),
-                    varbyte_encode(
-                        np.concatenate(([d[0]], np.diff(d))).astype(np.uint64)
-                    ),
-                    varbyte_encode(t.astype(np.uint64)),
-                    varbyte_encode(l.astype(np.uint64)),
-                    int(d[0]),
-                    int(d[-1]),
-                    int(t.max()),
-                    float(bscores.max()),
-                    bucket,
-                )
-            )
+
+        n = ids.size
+        starts = np.arange(0, n, block_size, dtype=np.int64)
+        ends = np.minimum(starts + block_size, n)
+        # delta within blocks: each block's first value stays absolute
+        deltas = np.empty(n, dtype=np.uint64)
+        deltas[0] = ids[0]
+        deltas[1:] = np.diff(ids).astype(np.uint64)
+        deltas[starts] = ids[starts].astype(np.uint64)
+
+        denom = tfs + K1 * (1 - B + B * dls / avgdl)
+        bscores = idf * (tfs * (K1 + 1)) / denom
+
         return pd.DataFrame(
-            rows, columns=[f.name for f in schemas.POSTINGS.fields]
+            {
+                "term": term,
+                "block_id": salt * BLOCKS_PER_SALT_CAP
+                + np.arange(starts.size, dtype=np.int64),
+                "n": (ends - starts).astype(np.int32),
+                "doc_ids": varbyte_encode_sliced(deltas, starts),
+                "tfs": varbyte_encode_sliced(tfs.astype(np.uint64), starts),
+                "dls": varbyte_encode_sliced(dls.astype(np.uint64), starts),
+                "first_doc_id": ids[starts],
+                "last_doc_id": ids[ends - 1],
+                "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+                "block_max_score": np.maximum.reduceat(bscores, starts),
+                "bucket": bucket,
+            },
+            columns=[f.name for f in schemas.POSTINGS.fields],
         )
 
     return encode
@@ -235,6 +250,7 @@ def build_index(
     index_version: str = "v1",
     resume: bool = True,
     fail_after_parts: int | None = None,  # test hook: simulate a killed job
+    part_concurrency: int = 1,  # concurrent part jobs (Spark schedules both)
 ) -> IndexBuildResult:
     """Full index build with per-part checkpoint/resume."""
     out = Path(out_dir)
@@ -333,15 +349,14 @@ def build_index(
     # ---------------- Stage C: per-part posting encode ---------------------
     term_stats = spark.read.parquet(stats_path)
     encoder = _make_encoder(n_docs, avgdl, block_size)
-    built = skipped = 0
     actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
-    for p in range(actual_parts):
-        name = f"part_{p:05d}"
-        if manifest.get(name, {}).get("status") == "DONE":
-            skipped += 1
-            continue
-        if fail_after_parts is not None and built >= fail_after_parts:
-            raise RuntimeError(f"simulated kill before part {p}")
+    todo = [
+        p for p in range(actual_parts)
+        if manifest.get(f"part_{p:05d}", {}).get("status") != "DONE"
+    ]
+    skipped = actual_parts - len(todo)
+
+    def _build_part(p: int) -> None:
         t0 = time.time()
         part_lo = p * part_size
         raw_p = spark.read.parquet(staging_path).filter(F.col("part_id") == p)
@@ -382,7 +397,7 @@ def build_index(
         m = obs.get
         _write_manifest_row(
             out_dir,
-            name,
+            f"part_{p:05d}",
             {
                 "partition_id": p,
                 "status": "DONE",
@@ -395,7 +410,26 @@ def build_index(
                 "index_version": index_version,
             },
         )
-        built += 1
+
+    if fail_after_parts is not None:
+        # deterministic sequential order for the kill-simulation test hook
+        for i, p in enumerate(todo):
+            if i >= fail_after_parts:
+                raise RuntimeError(f"simulated kill before part {p}")
+            _build_part(p)
+        built = min(len(todo), fail_after_parts)
+    elif part_concurrency > 1 and len(todo) > 1:
+        # parts are independent jobs (own output dir + manifest row); the
+        # Spark scheduler interleaves their stages across the executor pool
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=part_concurrency) as ex:
+            list(ex.map(_build_part, todo))
+        built = len(todo)
+    else:
+        for p in todo:
+            _build_part(p)
+        built = len(todo)
 
     manifest = _read_manifest(out_dir)
     total_blocks = sum(

@@ -56,3 +56,25 @@ def test_compression_is_compact():
     ids = np.arange(0, 100_000, 3, dtype=np.uint64)
     buf = varbyte_encode(delta_encode(ids))
     assert len(buf) / ids.size < 1.2
+
+
+def test_varbyte_encode_sliced_matches_per_block():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from search_engine_spark.functions.codec import varbyte_encode, varbyte_encode_sliced
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200),
+        st.integers(min_value=1, max_value=50),
+    )
+    def check(vals, bs):
+        v = np.array(vals, dtype=np.uint64)
+        starts = np.arange(0, v.size, bs, dtype=np.int64)
+        sliced = varbyte_encode_sliced(v, starts)
+        expected = [
+            varbyte_encode(v[a : a + bs]) for a in starts.tolist()
+        ]
+        assert sliced == expected
+
+    check()
