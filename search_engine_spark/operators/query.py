@@ -141,7 +141,18 @@ class SearchEngine:
         if conjunctive and len(infos) > 1:
             ranges = self._rare_term_ranges(infos[0])
 
-        blocks = self.postings.filter(F.col("term").isin(terms))
+        # bucket = pmod(hash(term), n_buckets) is a directory partition
+        # column — computing the query terms' buckets driver-side turns the
+        # term filter into PartitionFilters (whole bucket dirs skipped)
+        bucket_rows = (
+            self.spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.hash("term"), F.lit(self.n_buckets)).alias("b"))
+            .collect()
+        )
+        buckets = sorted({int(r["b"]) for r in bucket_rows})
+        blocks = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
         if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
             overlap = None
             for lo, hi in ranges:

@@ -1,0 +1,58 @@
+"""Physical-plan audit: prints the pruning/pushdown/codegen evidence cited
+in PERF.md from live `.explain("formatted")` output.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from search_engine_spark import entry_queries as EQ  # noqa: E402
+from search_engine_spark.operators.query import SearchEngine  # noqa: E402
+from search_engine_spark.session import get_spark  # noqa: E402
+
+KEYS = (
+    "PartitionFilters", "PushedFilters", "ReadSchema", "TakeOrderedAndProject",
+    "BroadcastHashJoin", "SortMergeJoin", "Exchange", "HashAggregate",
+    "WholeStageCodegen", "FlatMapGroupsInPandas", "MapInPandas",
+    "ArrowEvalPython",
+)
+
+
+def show(title: str, df) -> None:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    print(f"\n===== {title} =====")
+    for line in buf.getvalue().splitlines():
+        if any(k in line for k in KEYS):
+            print(line.rstrip()[:200])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    idx = EQ.ensure_index(spark, sf_dir)
+    eng = SearchEngine(spark, idx)
+
+    infos, _ = eng.lookup_terms(" ".join(EQ.RARE_QUERY_TERMS))
+    show("candidate block scan (bucket+term+range pruning)",
+         eng.candidate_scores(infos, conjunctive=True))
+    show("top-k search (TakeOrderedAndProject)",
+         eng.search_ids(" ".join(EQ.RARE_QUERY_TERMS), k=10))
+    show("presentation join (broadcast ids ⋈ documents)",
+         eng.search(" ".join(EQ.QUERY_TERMS), k=10))
+    show("dataframe-native BM25", EQ.q_bm25_topk(spark, sf_dir))
+    show("LSH candidate pairs", EQ.q_lsh_pairs(spark, sf_dir))
+    show("cosine top-k", EQ.q_cosine_topk(spark, sf_dir))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
