@@ -187,13 +187,29 @@ def _scaling_build(cpus: int) -> float:
     return sec
 
 
+def _scaling_build_subprocess(cpus: int) -> float:
+    """Run one measurement in a FRESH process: PySpark local mode reuses
+    the gateway JVM across sessions in one process, and accumulated heap
+    debris measurably slows later runs (observed 2-3x)."""
+    import json as _json
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--scale-one", str(cpus)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return float(_json.loads(out.stdout.strip().splitlines()[-1])["sec"])
+
+
 def run_scaling() -> dict:
     n = _ensure_scaling_corpus()
     lo, hi = 8, 32
     runs = {lo: [], hi: []}
     for _ in range(SCALE_REPS):
         for c in (lo, hi):
-            runs[c].append(_scaling_build(c))
+            runs[c].append(_scaling_build_subprocess(c))
     t_lo, t_hi = min(runs[lo]), min(runs[hi])
     thr_lo = n / t_lo
     thr_hi = n / t_hi
@@ -240,10 +256,16 @@ Measured {time.strftime('%Y-%m-%d %H:%M:%S')} via `python bench.py --scaling`.
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-one", type=int, default=None,
+                    help="internal: one scaling measurement in this process")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
-    if args.scaling:
+    if args.scale_one is not None:
+        _ensure_scaling_corpus()
+        print(json.dumps({"cores": args.scale_one,
+                          "sec": round(_scaling_build(args.scale_one), 2)}))
+    elif args.scaling:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_suite(args.sf_dir, args.cpus)))

@@ -1,0 +1,171 @@
+"""Reference API parity: the five endpoints of the reference's REST
+controller (ApiController.java:20-47), re-expressed as an engine facade —
+same contracts, same error messages, Spark jobs underneath.
+
+| Reference endpoint | Cite | Here |
+|---|---|---|
+| GET /api/startIndexing | ApiController.java:25-29 | start_indexing() |
+| GET /api/stopIndexing  | ApiController.java:31-35 | stop_indexing()  |
+| POST /api/indexPage    | ApiController.java:37-41 | index_batch()    |
+| GET /api/search        | ApiController.java:43-47 | search()         |
+| GET /api/statistics    | ApiController.java:20-23 | statistics()     |
+
+Responses mirror the reference's {"result": bool, "error": str} envelope
+(dto/statistics/Response.java) with its exact error strings where the
+semantics carry over (IndexationService.java:7-10, SearchService.java:6-11
+analogs). "Stop" becomes cooperative cancel + manifest resume: a stopped
+build keeps its DONE parts and the next start_indexing(resume=True) skips
+them — strictly better than the reference's wipe-on-restart
+(IndexationServiceImpl.java:81-86).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.incremental import incremental_update
+from .operators.index_build import build_index, manifest_df
+from .operators.query import SearchEngine
+
+ERR_ALREADY_RUNNING = "Индексация уже запущена"          # IndexationService.java:7
+ERR_NOT_RUNNING = "Индексация не запущена"               # IndexationService.java:8
+ERR_EMPTY_QUERY = "Задан пустой поисковый запрос"        # SearchService.java:6-7
+ERR_NOT_FOUND = "Ничего не найдено"                      # SearchService.java:8-9
+
+
+@dataclass
+class EngineAPI:
+    """One facade per (SparkSession, index_dir)."""
+
+    spark: SparkSession
+    index_dir: str
+    _build_thread: threading.Thread | None = field(default=None, repr=False)
+    _build_error: list[str] = field(default_factory=list, repr=False)
+
+    # -- GET /api/startIndexing -------------------------------------------
+    def start_indexing(
+        self, transcripts: DataFrame, *, resume: bool = True, **kwargs
+    ) -> dict[str, Any]:
+        """Kick off a full index build in a background thread (the
+        reference runs one thread per site, IndexationServiceImpl.java:97-105).
+        resume=True keeps DONE parts from a previously stopped build."""
+        if self.is_indexing():
+            return {"result": False, "error": ERR_ALREADY_RUNNING}
+        self._build_error.clear()
+
+        def run() -> None:
+            try:
+                build_index(
+                    self.spark, transcripts, self.index_dir,
+                    resume=resume, **kwargs,
+                )
+            except Exception as ex:  # noqa: BLE001 — recorded like setFailed
+                self._build_error.append(str(ex))
+
+        self._build_thread = threading.Thread(target=run, daemon=True)
+        self._build_thread.start()
+        return {"result": True}
+
+    def is_indexing(self) -> bool:
+        return self._build_thread is not None and self._build_thread.is_alive()
+
+    def wait(self, timeout: float | None = None) -> None:
+        if self._build_thread is not None:
+            self._build_thread.join(timeout)
+
+    # -- GET /api/stopIndexing --------------------------------------------
+    def stop_indexing(self) -> dict[str, Any]:
+        """Cooperative cancel: interrupt running Spark jobs; completed parts
+        stay DONE in the manifest (the resume contract). The reference
+        instead marks sites FAILED and wipes on restart."""
+        if not self.is_indexing():
+            return {"result": False, "error": ERR_NOT_RUNNING}
+        self.spark.sparkContext.cancelAllJobs()
+        self._build_thread.join(timeout=60)
+        return {"result": True}
+
+    # -- POST /api/indexPage ----------------------------------------------
+    def index_batch(self, new_transcripts: DataFrame) -> dict[str, Any]:
+        """Single-batch upsert (the reference's one-page re-index,
+        IndexationServiceImpl.java:119-131) — idempotent anti-join merge."""
+        try:
+            res = incremental_update(self.spark, new_transcripts, self.index_dir)
+        except ValueError as ex:
+            return {"result": False, "error": str(ex)}
+        return {"result": True, **res}
+
+    # -- GET /api/search ---------------------------------------------------
+    def search(
+        self,
+        query: str,
+        *,
+        offset: int = 0,
+        limit: int = 20,
+        mode: str = "bm25",
+        max_df: int | None = None,
+    ) -> dict[str, Any]:
+        """Paginated search with the reference's response envelope:
+        {result, count, data:[{...}]} (SearchServiceImpl.java:78-90)."""
+        if not query or not query.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        eng = SearchEngine(self.spark, self.index_dir)
+        rows = eng.search(
+            query, k=limit, offset=offset, mode=mode, max_df=max_df
+        ).collect()
+        if not rows:
+            return {"result": True, "count": 0, "data": []}
+        return {
+            "result": True,
+            "count": len(rows),
+            "data": [
+                {
+                    "doc_id": r["doc_id"],
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "relevance": r["score"],
+                    "snippet": r["snippet"],
+                }
+                for r in rows
+            ],
+        }
+
+    # -- GET /api/statistics ----------------------------------------------
+    def statistics(self) -> dict[str, Any]:
+        """Totals + per-partition build state (StatisticsServiceImpl.java:33-51:
+        total pages/lemmas + per-site status)."""
+        eng = SearchEngine(self.spark, self.index_dir)
+        total_terms = eng.term_stats.count()
+        parts = [
+            {
+                "partition_id": r["partition_id"],
+                "status": r["status"],
+                "postings_written": r["postings_written"],
+                "bytes_compressed": r["bytes_compressed"],
+            }
+            for r in manifest_df(self.spark, self.index_dir).collect()
+            if r["partition_id"] >= 0
+        ]
+        per_role = {
+            r["role"]: r["n_docs"]
+            for r in eng.documents.groupBy("role")
+            .agg(F.count("*").alias("n_docs"))
+            .collect()
+        }
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "docs": eng.n_docs,
+                    "terms": total_terms,
+                    "avgdl": eng.avgdl,
+                    "is_indexing": self.is_indexing(),
+                },
+                "per_role": per_role,
+                "parts": parts,
+            },
+        }

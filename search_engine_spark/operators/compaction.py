@@ -1,0 +1,132 @@
+"""Index compaction: fold accumulated incremental parts back into a
+balanced part layout.
+
+Each streaming/incremental batch appends one new part (operators/
+incremental.py); after many batches the postings tree accumulates many
+small parts whose per-term block chains fragment (more files listed per
+query, shorter varbyte runs). Compaction rebuilds postings from the
+staging table — the durable (term, doc_id, dl, tf) fact table that every
+part build is derived from — into a fresh `n_parts` layout, then swaps
+directories and rewrites the manifest. The reference's analog is the full
+wipe-and-rebuild (`clearDB`, IndexationServiceImpl.java:81-86); ours keeps
+documents/staging intact and only rewrites the derived postings, so it is
+restartable and much cheaper than a rebuild from raw text.
+
+Query equivalence is exact: postings content is (term -> {(doc,tf)}) no
+matter the part layout, and BM25 stats are recomputed from the same
+staging rows (tests/test_compaction.py asserts score identity).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from .index_build import (
+    _make_encoder,
+    _manifest_path,
+    _read_manifest,
+    _write_manifest_row,
+)
+
+
+def compact_index(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    n_parts: int = 4,
+    n_buckets: int = 16,
+    block_size: int = 128,
+    salt_budget: int = 100_000,
+) -> dict:
+    """Rewrite postings into ``n_parts`` balanced parts. Returns
+    {"parts_before": int, "parts_after": int}."""
+    manifest = _read_manifest(out_dir)
+    if manifest.get("stage_docs", {}).get("status") != "DONE":
+        raise ValueError(f"no complete index at {out_dir}")
+    version = manifest["stage_docs"].get("index_version", "v1")
+    parts_before = sum(1 for k in manifest if k.startswith("part_"))
+
+    staging_path = f"{out_dir}/staging_compat"  # placeholder; see below
+    staging_path = f"{out_dir}/_staging_postings_raw"
+    stats_path = f"{out_dir}/term_stats"
+    postings_path = f"{out_dir}/postings"
+    new_postings = f"{out_dir}/_postings_compacting"
+
+    n_docs = int(manifest["stage_docs"]["n_docs"])
+    part_size = max(1, math.ceil(n_docs / n_parts))
+
+    corpus_row = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
+    avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
+    term_stats = spark.read.parquet(stats_path)
+    encoder = _make_encoder(n_docs, avgdl, block_size)
+
+    raw = spark.read.parquet(staging_path).withColumn(
+        "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
+    )
+    shutil.rmtree(new_postings, ignore_errors=True)
+    t0 = time.time()
+    rows_per_part: dict[int, dict] = {}
+    actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
+    for p in range(actual_parts):
+        raw_p = raw.filter(F.col("part_id") == p)
+        joined = raw_p.join(F.broadcast(term_stats.select("term", "df")), "term")
+        n_salts = F.greatest(
+            F.lit(1), F.ceil(F.col("df") / F.lit(salt_budget)).cast("long")
+        )
+        salted = joined.withColumn(
+            "salt",
+            (((F.col("doc_id") - F.lit(p * part_size)) * n_salts)
+             / F.lit(part_size)).cast("int"),
+        ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+        encoded = salted.groupBy("term", "part_id", "salt").applyInPandas(
+            lambda key, pdf: encoder(key, pdf), schema=schemas.POSTINGS
+        )
+        obs = Observation(f"compact_{p}_{int(t0)}")
+        encoded = encoded.observe(
+            obs,
+            F.sum("n").alias("postings_written"),
+            F.approx_count_distinct("term").alias("terms_merged"),
+            F.sum(
+                F.length("doc_ids") + F.length("tfs") + F.length("dls")
+            ).alias("bytes_compressed"),
+            F.count(F.lit(1)).alias("blocks"),
+        )
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{new_postings}/part_id={p}"
+        )
+        m = obs.get
+        rows_per_part[p] = {
+            "partition_id": p,
+            "status": "DONE",
+            "started_ts": t0,
+            "finished_ts": time.time(),
+            "postings_written": int(m["postings_written"] or 0),
+            "terms_merged": int(m["terms_merged"] or 0),
+            "bytes_compressed": int(m["bytes_compressed"] or 0),
+            "blocks": int(m["blocks"] or 0),
+            "index_version": version,
+        }
+
+    # swap: postings dir replaced wholesale, manifest part rows rewritten
+    # (on a cluster this is an Iceberg REPLACE snapshot commit)
+    old = f"{out_dir}/_postings_old"
+    shutil.rmtree(old, ignore_errors=True)
+    Path(postings_path).rename(old)
+    Path(new_postings).rename(postings_path)
+    shutil.rmtree(old, ignore_errors=True)
+    for name in list(_read_manifest(out_dir)):
+        if name.startswith("part_"):
+            (_manifest_path(out_dir) / f"{name}.json").unlink()
+    for p, row in rows_per_part.items():
+        _write_manifest_row(out_dir, f"part_{p:05d}", row)
+    stage = dict(manifest["stage_docs"])
+    stage["part_size"] = part_size
+    _write_manifest_row(out_dir, "stage_docs", stage)
+    return {"parts_before": parts_before, "parts_after": actual_parts}
