@@ -899,6 +899,101 @@ FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Event-time analytics (events table) — the streaming-shaped batch ops
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_events_tumbling(spark, sf_dir):
+    """1-hour tumbling event-time window per event_type (F.window — the
+    same operator Structured Streaming uses with a watermark). Values are
+    summed in cents (exact integers) — float SUM order is engine-defined."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: per-user sessions split on a 30-min inactivity gap
+    (lag + running sum of boundaries). Gap math in integer microseconds."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet TIMESTAMP_NTZ -> session-UTC timestamp; epoch micros then
+    # match DuckDB's epoch_us over the same naive values
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(
+        prev.isNull() | ((us - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_id", F.sum(new_s).over(ws))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH o AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, event_id, ts,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM o
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured access: extract props.k from the JSON column
+    (T-series of the reference's parsing ops, pushed JVM-side)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Non-SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
 def q_search_snippets(spark, sf_dir):
@@ -944,6 +1039,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "events_json": q_events_json,
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
 }
@@ -981,5 +1079,8 @@ ORACLES: dict[str, str] = {
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality(),
     "token_counts": _sql_token_counts(),
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_json": SQL_EVENTS_JSON,
     # search_snippets, build_manifest: non-SQL-expressible → rows-only
 }
