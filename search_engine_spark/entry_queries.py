@@ -667,6 +667,54 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: the k smallest distinct hashes
+    of character 8-grams. (The hash here is the portable md5-60bit so the
+    oracle matches bit-exactly; at 100 TB the same shape runs with a true
+    O(1)-per-shift polynomial rolling hash inside a pandas UDF.)"""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {NGRAM_CHARS - 1}, 1)),"
+                f" i -> substring(text, i, {NGRAM_CHARS}))"
+            )
+        ).alias("g"),
+    )
+    hashed = grams.select("doc_id", _hash_col(F.col("g")).alias("h")).distinct()
+    w = Window.partitionBy("doc_id").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= FP_K
+    )
+    aggs = [
+        F.max(F.when(F.col("rn") == i + 1, F.col("h"))).alias(f"fp{i + 1}")
+        for i in range(FP_K)
+    ]
+    return ranked.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_rolling_fingerprint() -> str:
+    horner = _hex2int_sql("m")
+    cases = ", ".join(
+        f"MAX(CASE WHEN rn = {i + 1} THEN h END) AS fp{i + 1}"
+        for i in range(FP_K)
+    )
+    return f"""
+WITH g0 AS (
+    SELECT doc_id, md5(substr(text, CAST(i.i AS INTEGER), {NGRAM_CHARS})) AS m
+    FROM documents,
+         unnest(generate_series(1, greatest(length(text) - {NGRAM_CHARS - 1}, 1))) AS i(i)
+),
+g AS (SELECT DISTINCT doc_id, {horner} AS h FROM g0),
+r AS (
+    SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM g
+)
+SELECT doc_id, {cases} FROM r WHERE rn <= {FP_K} GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
@@ -767,6 +815,63 @@ FROM embeddings CROSS JOIN q
 WHERE ({bucket}) = qb
 ORDER BY sim DESC, vec_id ASC
 LIMIT {TOPK}
+"""
+
+
+# 99.9th pct of pairwise cosine in the driver's synthetic embeddings —
+# random-ish vectors never reach classic near-dup levels (max ~0.51), so
+# the threshold is calibrated to yield a real (non-empty) pair set
+EMBED_DUP_THRESHOLD = 0.35
+NGRAM_CHARS = 8
+FP_K = 3
+
+
+def q_embed_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t).
+    Exact O(n^2) baseline via self-join on the sign-bucket (candidates
+    share the 8-dim sign bucket — the same locality structure q_ann_bucketed
+    uses, which is what keeps this sub-quadratic at 100 TB)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding")).alias("bkt"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= EMBED_DUP_THRESHOLD)
+    )
+
+
+def _sql_embed_dup_pairs() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(ANN_SIGN_DIMS)
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bkt,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v) / (a.norm * b.norm) AS sim
+FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {EMBED_DUP_THRESHOLD}
 """
 
 
@@ -1034,8 +1139,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_pairs": q_lsh_pairs,
     "simhash": q_simhash,
     "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "cosine_topk": q_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
+    "embed_dup_pairs": q_embed_dup_pairs,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -1074,8 +1181,10 @@ ORACLES: dict[str, str] = {
     "lsh_pairs": _sql_lsh_pairs(),
     "simhash": _sql_simhash(),
     "doc_fingerprint": _sql_fingerprint(),
+    "rolling_fingerprint": _sql_rolling_fingerprint(),
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_bucketed": _sql_ann_bucketed(),
+    "embed_dup_pairs": _sql_embed_dup_pairs(),
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality(),
     "token_counts": _sql_token_counts(),
