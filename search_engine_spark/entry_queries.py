@@ -545,7 +545,8 @@ def q_lsh_pairs(spark, sf_dir):
     band bucket, with estimated jaccard = matching minhashes / 16.
     At scale this replaces the quadratic self-join: the explode+groupBy on
     (band, bucket) shuffles O(n_docs * n_bands) rows only."""
-    sigs = q_minhash_sigs(spark, sf_dir)
+    # signatures feed three branches (bands, s1, s2) — materialize once
+    sigs = q_minhash_sigs(spark, sf_dir).localCheckpoint()
     bands = sigs.select(
         "doc_id",
         F.explode(

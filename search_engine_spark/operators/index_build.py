@@ -313,14 +313,17 @@ def build_index(
     part_size = int(manifest["stage_docs"]["part_size"])
 
     # ---------------- Stage B: term_stats + corpus_stats -------------------
+    n_terms_obs: dict[str, int] = {}
     if manifest.get("stage_stats", {}).get("status") != "DONE":
         t0 = time.time()
         raw = spark.read.parquet(staging_path)
         term_stats = raw.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         )
-        term_stats.write.mode("overwrite").parquet(stats_path)
-
+        stats_ob = Observation(f"stats_{int(t0)}")
+        term_stats = term_stats.observe(
+            stats_ob, F.count(F.lit(1)).alias("n_terms")
+        )
         docs = spark.read.parquet(docs_path)
         corpus = docs.agg(
             F.count("*").alias("n_docs"),
@@ -328,7 +331,21 @@ def build_index(
             F.max("dl").cast("double").alias("max_tf_sum"),
             F.lit(index_version).alias("index_version"),
         )
-        corpus.write.mode("overwrite").parquet(corpus_path)
+
+        # the two stats jobs are independent — overlap them (each is a
+        # separate Spark job; the scheduler interleaves their stages)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(
+                lambda: term_stats.write.mode("overwrite").parquet(stats_path)
+            )
+            f2 = ex.submit(
+                lambda: corpus.write.mode("overwrite").parquet(corpus_path)
+            )
+            f1.result()
+            f2.result()
+        n_terms_obs["n"] = int(stats_ob.get["n_terms"] or 0)
         _write_manifest_row(
             out_dir,
             "stage_stats",
@@ -338,6 +355,7 @@ def build_index(
                 "started_ts": t0,
                 "finished_ts": time.time(),
                 "index_version": index_version,
+                "n_terms": n_terms_obs["n"],
             },
         )
         manifest = _read_manifest(out_dir)
@@ -435,7 +453,10 @@ def build_index(
     total_blocks = sum(
         int(r.get("blocks", 0)) for n, r in manifest.items() if n.startswith("part_")
     )
-    n_terms = spark.read.parquet(stats_path).count()
+    n_terms = int(
+        manifest.get("stage_stats", {}).get("n_terms")
+        or spark.read.parquet(stats_path).count()
+    )
     return IndexBuildResult(
         out_dir=out_dir,
         n_docs=n_docs,
