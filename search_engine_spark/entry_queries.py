@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.analyzer import STOPWORDS, tokens_cte_sql, terms_col
-from .operators.index_build import B, K1, build_index, clean_transcripts
+from .operators.index_build import B, K1, build_index
 from .operators.query import SearchEngine
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 
-from .analyzer import analyze_text, lemmatize_token
+from .analyzer import lemmatize_token
 
 SNIPPET_LEN = 240  # SnippetCreator.java:19
 

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.analyzer import analyze_series, terms_col
+from ..functions.analyzer import analyze_series
 from ..functions.codec import varbyte_encode_sliced
 from .. import schemas
 
