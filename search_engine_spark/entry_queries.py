@@ -115,7 +115,8 @@ def _score_sql(mode: str) -> str:
     return "tf.tf / (SELECT CAST(MAX(dl) AS DOUBLE) FROM dl)"
 
 
-def _topk_sql(terms_df_asc, mode: str, k: int = TOPK) -> str:
+def _topk_sql(terms_df_asc, mode: str, k: int = TOPK,
+              conjunctive: bool = True) -> str:
     """CASE-pivot + fixed-order COALESCE sum + conjunctive filter + top-k."""
     n = len(terms_df_asc)
     cases = ", ".join(
@@ -123,7 +124,11 @@ def _topk_sql(terms_df_asc, mode: str, k: int = TOPK) -> str:
         for i, t in enumerate(terms_df_asc)
     )
     total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(n))
-    notnull = " AND ".join(f"s{i} IS NOT NULL" for i in range(n))
+    notnull = (
+        " AND ".join(f"s{i} IS NOT NULL" for i in range(n))
+        if conjunctive
+        else "TRUE"
+    )
     return f"""
 WITH {_base_ctes()},
 partials AS (
@@ -273,10 +278,12 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _engine_topk(
-    spark: SparkSession, sf_dir: str, terms, mode: str, k: int = TOPK
+    spark: SparkSession, sf_dir: str, terms, mode: str, k: int = TOPK,
+    conjunctive: bool = True,
 ) -> DataFrame:
     eng = SearchEngine(spark, ensure_index(spark, sf_dir))
-    ids = eng.search_ids(" ".join(terms), k=k, mode=mode)
+    ids = eng.search_ids(" ".join(terms), k=k, mode=mode,
+                         conjunctive=conjunctive)
     remap = eng.documents.select("doc_id", "turn_idx")
     return (
         ids.join(remap, "doc_id")
@@ -450,6 +457,15 @@ def q_engine_rare_topk(spark, sf_dir):
 def q_engine_relevance_ref(spark, sf_dir):
     """Engine top-k in reference-parity scoring mode."""
     return _engine_topk(spark, sf_dir, QUERY_TERMS, "relevance_ref")
+
+
+def q_engine_disjunctive(spark, sf_dir):
+    """Engine top-k under ANY-match (disjunctive) semantics — J1 retrieval
+    without the intersection step; block-range pruning disabled (it is
+    only lossless under conjunction)."""
+    return _engine_topk(
+        spark, sf_dir, RARE_QUERY_TERMS, "bm25", conjunctive=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1116,6 +1132,37 @@ def q_build_manifest(spark, sf_dir):
     return manifest_df(spark, ensure_index(spark, sf_dir))
 
 
+def _media_df(spark):
+    from .operators import multimodal as MM
+
+    return spark.createDataFrame(MM.make_media(n=60, seed=42), schema=MM.MEDIA)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal: image channel means + fingerprints over opaque binary
+    payloads (deterministic synthetic media; decode via the injectable
+    fake codec — real decoders drop in without plan changes)."""
+    from .operators import multimodal as MM
+
+    return MM.image_features(_media_df(spark), decoder=MM.fake_rgb_decoder)
+
+
+def q_media_frames(spark, sf_dir):
+    """Multimodal: video frame sampling (mapInPandas 1:N row shape)."""
+    from .operators import multimodal as MM
+
+    return MM.sample_frames(_media_df(spark), every_n=10).select(
+        "media_id", "frame_idx", F.length("payload").alias("frame_bytes")
+    )
+
+
+def q_media_audio_stats(spark, sf_dir):
+    """Multimodal: PCM audio RMS + metadata consistency check."""
+    from .operators import multimodal as MM
+
+    return MM.audio_stats(_media_df(spark))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1134,6 +1181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_bm25_topk": q_engine_bm25_topk,
     "engine_rare_topk": q_engine_rare_topk,
     "engine_relevance_ref": q_engine_relevance_ref,
+    "engine_disjunctive": q_engine_disjunctive,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_sigs": q_minhash_sigs,
@@ -1152,6 +1200,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+    "media_audio_stats": q_media_audio_stats,
 }
 
 
@@ -1176,6 +1227,9 @@ ORACLES: dict[str, str] = {
     "engine_bm25_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
     "engine_rare_topk": _topk_sql(list(RARE_QUERY_TERMS), "bm25"),
     "engine_relevance_ref": _topk_sql(_oracle_terms_sorted(), "relevance_ref"),
+    "engine_disjunctive": _topk_sql(
+        list(RARE_QUERY_TERMS), "bm25", conjunctive=False
+    ),
     "dedup_exact": SQL_DEDUP_EXACT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "minhash_sigs": SQL_MINHASH_SIGS,
