@@ -142,14 +142,12 @@ class SearchEngine:
             ranges = self._rare_term_ranges(infos[0])
 
         # bucket = pmod(hash(term), n_buckets) is a directory partition
-        # column — computing the query terms' buckets driver-side turns the
-        # term filter into PartitionFilters (whole bucket dirs skipped)
-        bucket_rows = (
-            self.spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(F.pmod(F.hash("term"), F.lit(self.n_buckets)).alias("b"))
-            .collect()
-        )
-        buckets = sorted({int(r["b"]) for r in bucket_rows})
+        # column — computing the query terms' buckets driver-side (pure
+        # Python murmur3, no Spark job) turns the term filter into
+        # PartitionFilters (whole bucket dirs skipped)
+        from ..functions.spark_hash import spark_bucket
+
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
         blocks = self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
