@@ -1139,12 +1139,15 @@ def _media_df(spark):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal: image channel means + fingerprints over opaque binary
-    payloads (deterministic synthetic media; decode via the injectable
-    fake codec — real decoders drop in without plan changes)."""
+    """Multimodal: image channel means over opaque binary payloads
+    (deterministic synthetic media; decode via the injectable fake codec —
+    real decoders drop in without plan changes). Projects the SQL-checkable
+    columns; the sha fingerprint stays on the full operator (unit-tested)."""
     from .operators import multimodal as MM
 
-    return MM.image_features(_media_df(spark), decoder=MM.fake_rgb_decoder)
+    return MM.image_features(_media_df(spark), decoder=MM.fake_rgb_decoder).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
 
 
 def q_media_frames(spark, sf_dir):
@@ -1161,6 +1164,64 @@ def q_media_audio_stats(spark, sf_dir):
     from .operators import multimodal as MM
 
     return MM.audio_stats(_media_df(spark))
+
+
+# Media oracles: make_media (operators/multimodal.py) is pure integer
+# arithmetic on media_id, so DuckDB recomputes every pixel / PCM sample /
+# frame length from generate_series — a full value-hash check of the
+# mapInPandas decode path, not just rows+schema.
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+    SELECT i AS media_id, 8 + (i*7) % 56 AS h, 8 + (i*5) % 56 AS w
+    FROM (SELECT unnest(generate_series(0, 59)) AS i)
+    WHERE i % 3 = 0
+),
+px AS (
+    SELECT media_id, w, h,
+           (media_id*31 + y.y*17 + x.x*13) % 256 AS r,
+           (media_id*31 + y.y*17 + x.x*13 + 7) % 256 AS g,
+           (media_id*31 + y.y*17 + x.x*13 + 14) % 256 AS b
+    FROM m,
+         unnest(generate_series(0, h - 1)) AS y(y),
+         unnest(generate_series(0, w - 1)) AS x(x)
+)
+SELECT media_id, MAX(w) AS width, MAX(h) AS height,
+       CAST(SUM(r) AS BIGINT) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_r,
+       CAST(SUM(g) AS BIGINT) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_g,
+       CAST(SUM(b) AS BIGINT) / CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_b
+FROM px GROUP BY media_id
+"""
+
+SQL_MEDIA_FRAMES = """
+WITH v AS (
+    SELECT i AS media_id, 5 + (i*11) % 35 AS n_frames, 40 + (i % 50) AS frame_len
+    FROM (SELECT unnest(generate_series(0, 59)) AS i)
+    WHERE i % 3 = 2
+)
+SELECT media_id, CAST(f.f AS INTEGER) AS frame_idx, frame_len AS frame_bytes
+FROM v, unnest(generate_series(0, n_frames - 1, 10)) AS f(f)
+"""
+
+SQL_MEDIA_AUDIO_STATS = """
+WITH a AS (
+    SELECT i AS media_id, 10 + (i*37) % 490 AS dur
+    FROM (SELECT unnest(generate_series(0, 59)) AS i)
+    WHERE i % 3 = 1
+),
+s AS (
+    SELECT media_id, 16 * dur AS n_samples,
+           CAST(SUM(
+               ((media_id*131 + j.j*17) % 4096 - 2048)
+             * ((media_id*131 + j.j*17) % 4096 - 2048)
+           ) AS BIGINT) AS ss
+    FROM a, unnest(generate_series(0, 16 * dur - 1)) AS j(j)
+    GROUP BY 1, 2
+)
+SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,
+       sqrt(ss / CAST(n_samples AS DOUBLE)) AS rms,
+       TRUE AS meta_consistent
+FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1246,5 +1307,8 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_json": SQL_EVENTS_JSON,
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_frames": SQL_MEDIA_FRAMES,
+    "media_audio_stats": SQL_MEDIA_AUDIO_STATS,
     # search_snippets, build_manifest: non-SQL-expressible → rows-only
 }

@@ -115,6 +115,10 @@ def analyze_series(texts: pd.Series) -> pd.Series:
     """Series[str] -> Series[list[str]] — vectorized analyzer for UDFs.
     The list rebuild is np.split at bincount boundaries (C path), not a
     python-level groupby-agg — this is the hot loop of the index build."""
+    if len(texts) == 0:
+        # np.split(empty, []) would yield ONE part for zero rows — a
+        # zero-row Arrow batch must return a zero-row Series
+        return pd.Series([], index=texts.index, dtype=object)
     s = texts.fillna("").astype(str).str.lower()
     s = s.str.replace(_NONWORD_RE, " ", regex=True).str.strip()
     s = s.reset_index(drop=True)

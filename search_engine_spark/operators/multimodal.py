@@ -119,15 +119,19 @@ def image_features(
                 pdf["media_id"], pdf["payload"], pdf["codec"]
             ):
                 arr = decoder(bytes(payload), codec)
-                means = arr.reshape(-1, 3).mean(axis=0)
+                # exact integer channel sums, then ONE IEEE division each —
+                # bit-identical to the SQL oracle's SUM(int)::DOUBLE / n
+                flat = arr.reshape(-1, 3).astype(np.int64)
+                sums = flat.sum(axis=0)
+                npx = flat.shape[0]
                 rows.append(
                     (
                         int(mid),
                         int(arr.shape[1]),
                         int(arr.shape[0]),
-                        float(means[0]),
-                        float(means[1]),
-                        float(means[2]),
+                        float(sums[0]) / npx,
+                        float(sums[1]) / npx,
+                        float(sums[2]) / npx,
                         hashlib.sha256(bytes(payload)).hexdigest()[:16],
                     )
                 )
@@ -227,6 +231,8 @@ def audio_stats(media: DataFrame) -> DataFrame:
     )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
             for mid, payload, sr, dur in zip(
@@ -234,7 +240,14 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 pdf["duration_ms"],
             ):
                 pcm = np.frombuffer(bytes(payload), dtype=np.int16)
-                rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0
+                # exact int64 sum of squares (numpy-batched), then one IEEE
+                # division + sqrt — bit-identical to the SQL oracle
+                if pcm.size:
+                    p64 = pcm.astype(np.int64)
+                    ss = int(p64 @ p64)
+                    rms = math.sqrt(ss / pcm.size)
+                else:
+                    rms = 0.0
                 expect = int(sr) * int(dur) // 1000
                 rows.append(
                     (int(mid), int(pcm.size), rms, abs(pcm.size - expect) <= 1)
@@ -250,31 +263,47 @@ def audio_stats(media: DataFrame) -> DataFrame:
 # Deterministic synthetic media (tests / demos only — no external data)
 # ---------------------------------------------------------------------------
 def make_media(n: int = 60, seed: int = 42) -> pd.DataFrame:
-    rng = np.random.default_rng(seed)
+    """Deterministic synthetic media — every metadata field and payload byte
+    is pure integer arithmetic on media_id, so a SQL oracle can recompute
+    features exactly (entry_queries media_* oracles):
+
+      image (i%3==0): h = 8+(i*7)%56, w = 8+(i*5)%56,
+                      pixel(y,x,c) = (i*31 + y*17 + x*13 + c*7) % 256
+      audio (i%3==1): sr = 16000, dur_ms = 10+(i*37)%490,
+                      pcm[j] = (i*131 + j*17) % 4096 - 2048  (int16)
+      video (i%3==2): n_frames = 5+(i*11)%35, frame_len = 40+(i%50),
+                      payload[j] = (i + j) % 256
+
+    ``seed`` is accepted for API compatibility; the data is seed-free.
+    The frame is built dtype=object so nullable int metadata stays
+    python-int/None (pandas would otherwise promote to float64, which
+    spark.createDataFrame rejects for IntegerType)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            h, w = 8 + (i * 7) % 56, 8 + (i * 5) % 56
+            y, x, c = np.ogrid[:h, :w, :3]
+            arr = ((i * 31 + y * 17 + x * 13 + c * 7) % 256).astype(np.uint8)
             rows.append(
                 (i, kind, fake_rgb_encode(arr), "fake-rgb", w, h, None, None, None)
             )
         elif kind == "audio":
             sr = 16000
-            dur = int(rng.integers(10, 500))
-            pcm = rng.integers(-(2 ** 14), 2 ** 14, size=sr * dur // 1000,
-                               dtype=np.int16)
+            dur = 10 + (i * 37) % 490
+            j = np.arange(sr * dur // 1000, dtype=np.int64)
+            pcm = ((i * 131 + j * 17) % 4096 - 2048).astype(np.int16)
             rows.append(
                 (i, kind, pcm.tobytes(), "pcm16", None, None, None, sr, dur)
             )
         else:
-            n_frames = int(rng.integers(5, 40))
-            payload = rng.integers(0, 256, size=n_frames * 64, dtype=np.uint8)
+            n_frames = 5 + (i * 11) % 35
+            frame_len = 40 + (i % 50)
+            j = np.arange(n_frames * frame_len, dtype=np.int64)
+            payload = ((i + j) % 256).astype(np.uint8).tobytes()
             rows.append(
-                (i, kind, payload.astype(np.uint8).tobytes(), "fake-frames",
-                 None, None, n_frames, None, None)
+                (i, kind, payload, "fake-frames", None, None, n_frames, None, None)
             )
     return pd.DataFrame(
         rows,
@@ -282,4 +311,5 @@ def make_media(n: int = 60, seed: int = 42) -> pd.DataFrame:
             "media_id", "kind", "payload", "codec", "width", "height",
             "n_frames", "sample_rate", "duration_ms",
         ],
+        dtype=object,
     )
