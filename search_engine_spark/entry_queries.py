@@ -48,11 +48,14 @@ ANY_TERMS = ("vector", "stream", "filter")
 JACCARD_THRESHOLD = 0.95
 N_MINHASH = 16
 N_BANDS = 8          # bands of 2 rows each
+LSH_BUCKET_CAP = 64  # drop band buckets larger than this before the pair join
 SIMHASH_BITS = 16
 ANN_SIGN_DIMS = 8
+ANN_PROBES = 1 + ANN_SIGN_DIMS  # query bucket + all Hamming-1 neighbors
+EMBED_BUCKET_CAP = 1024  # sign-bucket cap for the near-dup self-join
 TOPK = 10
 FP_MOD = 1_000_000_007
-BUILD_TAG = "v2"     # bump to invalidate cached /tmp indexes
+BUILD_TAG = "v3"     # bump to invalidate cached /tmp indexes
 
 _WS = "[ \\t\\n\\r]+"  # explicit class: java regex \s and RE2 \s differ on \x0B
 
@@ -69,6 +72,9 @@ _CJK = f"{chr(0x4E00)}-{chr(0x9FFF)}"
 # Shared SQL fragments (DuckDB; `documents` is a pre-registered view)
 # ---------------------------------------------------------------------------
 def _base_ctes() -> str:
+    # dl/stats cover the HYGIENE-FILTERED corpus (same predicate as
+    # clean_transcripts / q_clean_docs) so BM25 n_docs/avgdl agree with the
+    # real engine's corpus_stats even when the corpus contains blank docs
     toks = tokens_cte_sql("documents")
     return f"""
 toks AS ({toks}),
@@ -77,6 +83,7 @@ dl AS (
     SELECT d.doc_id, COALESCE(t.dl, 0) AS dl
     FROM documents d
     LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)
+    WHERE d.text IS NOT NULL AND regexp_replace(d.text, '\\s', '', 'g') <> ''
 ),
 stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
 dft AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
@@ -169,10 +176,20 @@ def _tf(docs: DataFrame) -> DataFrame:
     return _toks(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
+def _clean_pred():
+    """The P1 hygiene predicate (mirrors index_build.clean_transcripts).
+    Built lazily — Column construction needs an active session."""
+    return F.col("text").isNotNull() & (
+        F.regexp_replace(F.col("text"), r"\s", "") != ""
+    )
+
+
 def _dl(docs: DataFrame) -> DataFrame:
-    """Per-doc token count INCLUDING zero-token docs (left join)."""
-    counts = _toks(docs).groupBy("doc_id").agg(F.count("*").alias("_c"))
-    return docs.select("doc_id").join(counts, "doc_id", "left").select(
+    """Per-doc token count over the hygiene-filtered corpus, INCLUDING
+    zero-token (but non-blank) docs — the engine's corpus view."""
+    clean = docs.filter(_clean_pred())
+    counts = _toks(clean).groupBy("doc_id").agg(F.count("*").alias("_c"))
+    return clean.select("doc_id").join(counts, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("_c"), F.lit(0)).alias("dl")
     )
 
@@ -191,7 +208,9 @@ def _topk_spark(
     # materialize tf once (localCheckpoint): stats collection + scoring all
     # derive from it, so the tokenize+explode shuffle runs exactly once
     tf = _tf(docs).localCheckpoint()
-    dl = docs.select("doc_id").join(
+    # stats over the hygiene-filtered corpus — identical to the engine's
+    # corpus_stats (clean_transcripts) so engine_* entries share this oracle
+    dl = docs.filter(_clean_pred()).select("doc_id").join(
         tf.groupBy("doc_id").agg(F.sum("tf").alias("_c")), "doc_id", "left"
     ).select("doc_id", F.coalesce(F.col("_c"), F.lit(0)).alias("dl"))
     row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a"),
@@ -556,12 +575,8 @@ SQL_MINHASH_SIGS = (
 )
 
 
-def q_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH candidate pairs: 8 bands × 2 rows; pairs sharing any
-    band bucket, with estimated jaccard = matching minhashes / 16.
-    At scale this replaces the quadratic self-join: the explode+groupBy on
-    (band, bucket) shuffles O(n_docs * n_bands) rows only."""
-    # signatures feed three branches (bands, s1, s2) — materialize once
+def _lsh_bands(spark, sf_dir):
+    """(doc_id, band, x, y) band-bucket rows from materialized signatures."""
     sigs = q_minhash_sigs(spark, sf_dir).localCheckpoint()
     bands = sigs.select(
         "doc_id",
@@ -576,6 +591,27 @@ def q_lsh_pairs(spark, sf_dir):
             ])
         ).alias("b"),
     ).select("doc_id", "b.band", "b.x", "b.y")
+    return sigs, bands
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: 8 bands × 2 rows; pairs sharing any
+    band bucket, with estimated jaccard = matching minhashes / 16.
+    At scale this replaces the quadratic self-join: the explode+groupBy on
+    (band, bucket) shuffles O(n_docs * n_bands) rows only.
+
+    Degenerate buckets (boilerplate shards — every doc hashing to one
+    bucket) would still go quadratic INSIDE the bucket, so buckets larger
+    than LSH_BUCKET_CAP are dropped before the self-join (standard LSH
+    practice; q_lsh_bucket_stats reports exactly what was dropped)."""
+    sigs, bands = _lsh_bands(spark, sf_dir)
+    small = (
+        bands.groupBy("band", "x", "y")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= LSH_BUCKET_CAP)
+        .select("band", "x", "y")
+    )
+    bands = bands.join(small, ["band", "x", "y"])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -604,18 +640,26 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
-def _sql_lsh_pairs() -> str:
-    band_selects = " UNION ALL ".join(
+def _sql_bands() -> str:
+    return " UNION ALL ".join(
         f"SELECT doc_id, {j} AS band, mh{2 * j} AS x, mh{2 * j + 1} AS y FROM sigs"
         for j in range(N_BANDS)
     )
+
+
+def _sql_lsh_pairs() -> str:
     match_expr = " + ".join(
         f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
         for i in range(N_MINHASH)
     )
     return f"""
 WITH {_base_ctes()}, {_sql_minhash_core()},
-bands AS ({band_selects}),
+bands0 AS ({_sql_bands()}),
+small AS (
+    SELECT band, x, y FROM bands0 GROUP BY 1, 2, 3
+    HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+),
+bands AS (SELECT b.* FROM bands0 b JOIN small USING (band, x, y)),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -625,6 +669,44 @@ SELECT doc_a, doc_b, ({match_expr}) / {float(N_MINHASH)} AS est_jaccard
 FROM cand
 JOIN sigs s1 ON cand.doc_a = s1.doc_id
 JOIN sigs s2 ON cand.doc_b = s2.doc_id
+"""
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    """LSH skew accounting: per band, how many buckets/docs survive the
+    LSH_BUCKET_CAP and how many are dropped. 'No silent caps' — this is the
+    visible ledger for q_lsh_pairs' degenerate-bucket handling."""
+    _, bands = _lsh_bands(spark, sf_dir)
+    per_bucket = bands.groupBy("band", "x", "y").agg(
+        F.count("*").alias("bsz")
+    )
+    dropped = F.col("bsz") > LSH_BUCKET_CAP
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("bsz").alias("max_bucket"),
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("n_dropped_buckets"),
+            F.sum(F.when(dropped, F.col("bsz")).otherwise(0)).alias(
+                "n_docs_in_dropped"
+            ),
+        )
+    )
+
+
+def _sql_lsh_bucket_stats() -> str:
+    return f"""
+WITH {_base_ctes()}, {_sql_minhash_core()},
+bands0 AS ({_sql_bands()}),
+per_bucket AS (
+    SELECT band, x, y, COUNT(*) AS bsz FROM bands0 GROUP BY 1, 2, 3
+)
+SELECT band, COUNT(*) AS n_buckets, MAX(bsz) AS max_bucket,
+       CAST(SUM(CASE WHEN bsz > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped_buckets,
+       CAST(SUM(CASE WHEN bsz > {LSH_BUCKET_CAP} THEN bsz ELSE 0 END) AS BIGINT)
+           AS n_docs_in_dropped
+FROM per_bucket GROUP BY band
 """
 
 
@@ -789,21 +871,23 @@ def _bucket_col(c) -> F.Column:
 
 
 def q_ann_bucketed(spark, sf_dir):
-    """Bucketed ANN: sign-LSH on the first 8 dims partitions the corpus into
-    256 buckets; search only the query's bucket. At 100 TB the bucket is a
-    partition-pruned scan instead of a full pass (recall traded for locality;
-    q_cosine_topk is the exact reference)."""
+    """Multi-probe bucketed ANN: sign-LSH on the first 8 dims partitions the
+    corpus into 256 buckets; probe the query's bucket PLUS all Hamming-1
+    neighbor buckets (9 probes — the standard multi-probe recall lift
+    without a full scan). At 100 TB the probe set is a partition-pruned
+    scan; q_cosine_topk is the exact reference."""
     q = _query_vec(spark, sf_dir)
     qbucket = 0
     for i in range(ANN_SIGN_DIMS):
         if q[i] > 0:
             qbucket += 1 << i
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(ANN_SIGN_DIMS)]
     qnorm = 0.0
     for x in q:
         qnorm += x * x
     qnorm = math.sqrt(qnorm)
     qcol = F.array(*[F.lit(x) for x in q])
-    e = _emb(spark, sf_dir).filter(_bucket_col(F.col("embedding")) == qbucket)
+    e = _emb(spark, sf_dir).filter(_bucket_col(F.col("embedding")).isin(probes))
     sim = _dot(F.col("embedding"), qcol) / (
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
     )
@@ -819,6 +903,8 @@ def _sql_ann_bucketed() -> str:
         f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
         for i in range(ANN_SIGN_DIMS)
     )
+    # multi-probe: bucket == qb, or differs from qb in exactly one sign bit
+    probe_mask = ", ".join(str(1 << i) for i in range(ANN_SIGN_DIMS))
     return f"""
 WITH q AS (
     SELECT embedding::DOUBLE[] AS qv, ({bucket}) AS qb
@@ -829,7 +915,7 @@ SELECT vec_id,
          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
             * sqrt(list_dot_product(qv, qv))) AS sim
 FROM embeddings CROSS JOIN q
-WHERE ({bucket}) = qb
+WHERE ({bucket}) = qb OR xor(({bucket})::BIGINT, qb::BIGINT) IN ({probe_mask})
 ORDER BY sim DESC, vec_id ASC
 LIMIT {TOPK}
 """
@@ -844,16 +930,23 @@ FP_K = 3
 
 
 def q_embed_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t).
-    Exact O(n^2) baseline via self-join on the sign-bucket (candidates
-    share the 8-dim sign bucket — the same locality structure q_ann_bucketed
-    uses, which is what keeps this sub-quadratic at 100 TB)."""
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t) via
+    self-join on the sign-bucket (candidates share the 8-dim sign bucket —
+    the same locality structure q_ann_bucketed uses, which is what keeps
+    this sub-quadratic at 100 TB). Buckets larger than EMBED_BUCKET_CAP are
+    dropped before the join — same degenerate-skew guard as q_lsh_pairs."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         "embedding",
         _bucket_col(F.col("embedding")).alias("bkt"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
+    small = (
+        e.groupBy("bkt").agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= EMBED_BUCKET_CAP)
+        .select("bkt")
+    )
+    e = e.join(F.broadcast(small), "bkt")
     a = e.alias("a")
     b = e.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
@@ -880,11 +973,13 @@ def _sql_embed_dup_pairs() -> str:
         for i in range(ANN_SIGN_DIMS)
     )
     return f"""
-WITH e AS (
+WITH e0 AS (
     SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bkt,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
     FROM embeddings
-)
+),
+small AS (SELECT bkt FROM e0 GROUP BY 1 HAVING COUNT(*) <= {EMBED_BUCKET_CAP}),
+e AS (SELECT e0.* FROM e0 JOIN small USING (bkt))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.v, b.v) / (a.norm * b.norm) AS sim
 FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
@@ -1247,6 +1342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_sigs": q_minhash_sigs,
     "lsh_pairs": q_lsh_pairs,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "simhash": q_simhash,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -1295,6 +1391,7 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "minhash_sigs": SQL_MINHASH_SIGS,
     "lsh_pairs": _sql_lsh_pairs(),
+    "lsh_bucket_stats": _sql_lsh_bucket_stats(),
     "simhash": _sql_simhash(),
     "doc_fingerprint": _sql_fingerprint(),
     "rolling_fingerprint": _sql_rolling_fingerprint(),

@@ -14,7 +14,7 @@ restartable and much cheaper than a rebuild from raw text.
 
 Query equivalence is exact: postings content is (term -> {(doc,tf)}) no
 matter the part layout, and BM25 stats are recomputed from the same
-staging rows (tests/test_compaction.py asserts score identity).
+staging rows (tests/test_api_compaction.py asserts score identity).
 """
 
 from __future__ import annotations
@@ -41,19 +41,21 @@ def compact_index(
     out_dir: str,
     *,
     n_parts: int = 4,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     block_size: int = 128,
     salt_budget: int = 100_000,
 ) -> dict:
     """Rewrite postings into ``n_parts`` balanced parts. Returns
     {"parts_before": int, "parts_after": int}."""
+    from .incremental import resolve_n_buckets
+
     manifest = _read_manifest(out_dir)
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         raise ValueError(f"no complete index at {out_dir}")
     version = manifest["stage_docs"].get("index_version", "v1")
+    n_buckets = resolve_n_buckets(spark, out_dir, n_buckets)
     parts_before = sum(1 for k in manifest if k.startswith("part_"))
 
-    staging_path = f"{out_dir}/staging_compat"  # placeholder; see below
     staging_path = f"{out_dir}/_staging_postings_raw"
     stats_path = f"{out_dir}/term_stats"
     postings_path = f"{out_dir}/postings"

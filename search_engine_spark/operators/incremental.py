@@ -8,23 +8,41 @@ EntitySaver.java:35-54) re-expressed as an idempotent batch merge:
        (replaces the reference's synchronized get-or-create point lookups,
         EntitySaver.java:45-50 / PageRepository.java:18 — J4/S3)
     -> assign doc_ids continuing after the existing max (append order)
-    -> analyze -> append documents + staging -> encode NEW parts only
-    -> RECOMPUTE term_stats / corpus_stats from all staging parts
+    -> analyze -> staging + postings for the NEW part -> append documents
+    -> RECOMPUTE term_stats / corpus_stats -> manifest part row (COMMIT)
 
 Recomputing df from postings fixes the reference's df-drift bug
 (EntitySaver.java:88-101 increments lemma.frequency again on re-index —
 SURVEY.md §3.3/§7.5): our df is always exactly "distinct docs containing
 the term", no matter how many times a batch is replayed.
 
+Crash-safety (the multi-table append commit protocol):
+  The MANIFEST PART ROW is the commit marker and is written LAST. Write
+  order is staging -> postings -> documents -> stats -> manifest, so at
+  entry `_recover_uncommitted` can classify any staging part that has no
+  manifest row:
+    (a) documents do NOT cover its doc_id range -> the crash happened
+        before the documents append; the part is garbage — delete its
+        staging + postings dirs and let the replayed batch rebuild them.
+    (b) documents DO cover its doc_id range -> everything ordered before
+        the documents append (staging, postings) is complete; finish the
+        commit (recompute stats, reconstruct the manifest row's metrics
+        from the written postings).
+  Either way a replayed batch is exact: the anti-join target (documents)
+  is only ever written after the artifacts it vouches for. On a cluster
+  this maps to a single Iceberg multi-table transaction / snapshot commit;
+  on a local FS the marker file is the atomic bit.
+
 Scale notes: the anti-join is a shuffle on (conv_id, turn_idx) sized by the
 NEW batch (existing side is pruned to two columns); stats recompute is one
-agg over the staging table (columnar, term+tf columns only). On a cluster
-this maps to Iceberg MERGE + snapshot; locally, append parquet parts.
+agg over the staging table (columnar, term+tf columns only).
 """
 
 from __future__ import annotations
 
+import shutil
 import time
+from pathlib import Path
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -40,28 +58,152 @@ from .index_build import (
 )
 
 
+def _staging_part_ids(out_dir: str) -> set[int]:
+    base = Path(out_dir) / "_staging_postings_raw"
+    out: set[int] = set()
+    if base.exists():
+        for p in base.glob("part_id=*"):
+            try:
+                out.add(int(p.name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
+def resolve_n_buckets(spark: SparkSession, out_dir: str,
+                      requested: int | None = None) -> int:
+    """The bucket->directory layout persisted at build time
+    (corpus_stats.n_buckets). A caller-supplied mismatch would write/read
+    postings under a different bucket mapping — fail loudly."""
+    row = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
+    persisted = row.asDict().get("n_buckets")
+    if persisted is not None:
+        if requested is not None and int(requested) != int(persisted):
+            raise ValueError(
+                f"index at {out_dir} was built with n_buckets="
+                f"{int(persisted)}, caller requested {requested}"
+            )
+        return int(persisted)
+    return 16 if requested is None else int(requested)
+
+
+def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
+                     n_buckets: int) -> tuple[int, float]:
+    """Global stats from the durable fact tables (drift-free df —
+    SURVEY.md §7.5). Returns (n_docs, avgdl)."""
+    stats_path = f"{out_dir}/term_stats"
+    corpus_path = f"{out_dir}/corpus_stats"
+    raw = spark.read.parquet(f"{out_dir}/_staging_postings_raw")
+    raw.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    ).write.mode("overwrite").parquet(f"{stats_path}_new")
+    docs_all = spark.read.parquet(f"{out_dir}/documents")
+    docs_all.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.max("dl").cast("double").alias("max_tf_sum"),
+        F.lit(version).alias("index_version"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.mode("overwrite").parquet(f"{corpus_path}_new")
+    # atomic-ish swap via overwrite (Iceberg snapshot commit on clusters)
+    spark.read.parquet(f"{stats_path}_new").write.mode("overwrite").parquet(stats_path)
+    spark.read.parquet(f"{corpus_path}_new").write.mode("overwrite").parquet(corpus_path)
+    row = spark.read.parquet(corpus_path).collect()[0]
+    return int(row["n_docs"]), float(row["avgdl"]) if row["avgdl"] else 1.0
+
+
+def _recover_uncommitted(spark: SparkSession, out_dir: str,
+                         manifest: dict, n_buckets: int) -> dict:
+    """See module docstring: delete or finish any staging part whose commit
+    marker (manifest part row) is missing."""
+    committed = {
+        int(r.get("partition_id", -1))
+        for r in manifest.values()
+        if int(r.get("partition_id", -1)) >= 0
+    }
+    orphans = sorted(_staging_part_ids(out_dir) - committed)
+    if not orphans:
+        return manifest
+    version = manifest["stage_docs"].get("index_version", "v1")
+    docs_max = (
+        spark.read.parquet(f"{out_dir}/documents")
+        .agg(F.max("doc_id")).collect()[0][0]
+    )
+    docs_max = -1 if docs_max is None else int(docs_max)
+    for p in orphans:
+        staging_part = f"{out_dir}/_staging_postings_raw/part_id={p}"
+        postings_part = f"{out_dir}/postings/part_id={p}"
+        lo = (
+            spark.read.parquet(staging_part)
+            .agg(F.min("doc_id")).collect()[0][0]
+        )
+        if lo is not None and docs_max >= int(lo):
+            # (b) the documents append landed -> staging+postings for this
+            # part are complete; finish the commit
+            n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets)
+            m = (
+                spark.read.parquet(postings_part)
+                .agg(
+                    F.sum("n").alias("postings_written"),
+                    F.approx_count_distinct("term").alias("terms_merged"),
+                    F.sum(
+                        F.length("doc_ids") + F.length("tfs") + F.length("dls")
+                    ).alias("bytes_compressed"),
+                    F.count(F.lit(1)).alias("blocks"),
+                )
+                .collect()[0]
+            )
+            now = time.time()
+            _write_manifest_row(
+                out_dir,
+                f"part_{p:05d}",
+                {
+                    "partition_id": p,
+                    "status": "DONE",
+                    "started_ts": now,
+                    "finished_ts": now,
+                    "postings_written": int(m["postings_written"] or 0),
+                    "terms_merged": int(m["terms_merged"] or 0),
+                    "bytes_compressed": int(m["bytes_compressed"] or 0),
+                    "blocks": int(m["blocks"] or 0),
+                    "index_version": version,
+                    "recovered": True,
+                },
+            )
+            stage = dict(manifest["stage_docs"])
+            stage["n_docs"] = n_docs
+            _write_manifest_row(out_dir, "stage_docs", stage)
+        else:
+            # (a) crash before the documents append -> uncommitted garbage
+            shutil.rmtree(staging_part, ignore_errors=True)
+            shutil.rmtree(postings_part, ignore_errors=True)
+    return _read_manifest(out_dir)
+
+
 def incremental_update(
     spark: SparkSession,
     new_transcripts: DataFrame,
     out_dir: str,
     *,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     block_size: int = 128,
     salt_budget: int = 100_000,
     index_version: str | None = None,
 ) -> dict:
     """Merge a batch of new turns into an existing index at ``out_dir``.
     Returns {"new_docs": int, "new_parts": int}. Idempotent: replaying the
-    same batch is a no-op (anti-join drops already-indexed turns)."""
+    same batch is a no-op (anti-join drops already-indexed turns), and a
+    replay after a mid-write crash repairs the index first (see module
+    docstring)."""
     manifest = _read_manifest(out_dir)
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         raise ValueError(f"no complete index at {out_dir}; run build_index first")
     version = index_version or manifest["stage_docs"].get("index_version", "v1")
+    n_buckets = resolve_n_buckets(spark, out_dir, n_buckets)
+    manifest = _recover_uncommitted(spark, out_dir, manifest, n_buckets)
 
     docs_path = f"{out_dir}/documents"
     staging_path = f"{out_dir}/_staging_postings_raw"
-    stats_path = f"{out_dir}/term_stats"
-    corpus_path = f"{out_dir}/corpus_stats"
     postings_path = f"{out_dir}/postings"
 
     existing = spark.read.parquet(docs_path)
@@ -89,16 +231,16 @@ def incremental_update(
     t0 = time.time()
     analyzed = with_ids.withColumn("terms", _terms_udf()(F.col("text")))
     analyzed = analyzed.withColumn("dl", F.size("terms")).persist()
-    analyzed.select(
-        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"
-    ).write.mode("append").parquet(docs_path)
 
     # each batch becomes ONE new part directory — a fresh overwrite of its
     # own path (atomic locally; an Iceberg snapshot commit on clusters),
-    # never an append into existing part dirs
+    # never an append into existing part dirs. Number it past every part
+    # ever seen in manifest OR staging so a half-committed part id is never
+    # reused.
     part_new = 1 + max(
-        (int(r["partition_id"]) for r in manifest.values()
-         if int(r.get("partition_id", -1)) >= 0),
+        [int(r["partition_id"]) for r in manifest.values()
+         if int(r.get("partition_id", -1)) >= 0]
+        + list(_staging_part_ids(out_dir)),
         default=-1,
     )
     exploded = (
@@ -108,33 +250,25 @@ def incremental_update(
         .withColumn("part_id", F.lit(part_new).cast("int"))
     )
     exploded.write.mode("append").partitionBy("part_id").parquet(staging_path)
-    analyzed.unpersist()
-    ranged.unpersist()
 
-    # global stats recompute (drift-free df — SURVEY.md §7.5)
+    # postings for the new part (df comes from a post-merge recompute below,
+    # but the encoder needs df now for idf-at-encode — use the union view:
+    # staging already contains the new part)
     raw = spark.read.parquet(staging_path)
-    raw.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    ).write.mode("overwrite").parquet(f"{stats_path}_new")
-    docs_all = spark.read.parquet(docs_path)
-    n_docs = docs_all.count()
-    docs_all.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.max("dl").cast("double").alias("max_tf_sum"),
-        F.lit(version).alias("index_version"),
-    ).write.mode("overwrite").parquet(f"{corpus_path}_new")
-    # atomic-ish swap via overwrite (Iceberg snapshot commit on clusters)
-    spark.read.parquet(f"{stats_path}_new").write.mode("overwrite").parquet(stats_path)
-    spark.read.parquet(f"{corpus_path}_new").write.mode("overwrite").parquet(corpus_path)
-
-    corpus_row = spark.read.parquet(corpus_path).collect()[0]
-    avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
-    term_stats = spark.read.parquet(stats_path)
-    encoder = _make_encoder(n_docs, avgdl, block_size)
+    term_stats_now = raw.groupBy("term").agg(F.count("*").alias("df"))
+    docs_after = base + n_new
+    # avgdl over ALL docs after this batch: existing docs' dl + new batch dl
+    avg_row = (
+        existing.select("dl")
+        .unionByName(analyzed.select("dl"))
+        .agg(F.avg("dl").alias("a"))
+        .collect()[0]
+    )
+    avgdl = float(avg_row["a"]) if avg_row["a"] else 1.0
+    encoder = _make_encoder(docs_after, avgdl, block_size)
 
     raw_p = raw.filter(F.col("part_id") == part_new)
-    joined = raw_p.join(F.broadcast(term_stats.select("term", "df")), "term")
+    joined = raw_p.join(F.broadcast(term_stats_now.select("term", "df")), "term")
     n_salts = F.greatest(
         F.lit(1), F.ceil(F.col("df") / F.lit(salt_budget)).cast("long")
     )
@@ -147,7 +281,7 @@ def incremental_update(
     encoded = salted.groupBy("term", "part_id", "salt").applyInPandas(
         lambda key, pdf: encoder(key, pdf), schema=schemas.POSTINGS
     )
-    obs = Observation(f"incr_part_{part_new}")
+    obs = Observation(f"incr_part_{part_new}_{int(t0)}")
     encoded = encoded.observe(
         obs,
         F.sum("n").alias("postings_written"),
@@ -161,6 +295,18 @@ def incremental_update(
         f"{postings_path}/part_id={part_new}"
     )
     m = obs.get
+
+    # documents LAST among data tables — the anti-join anchor must never
+    # vouch for artifacts that don't exist yet (crash-safety, see docstring)
+    analyzed.select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"
+    ).write.mode("append").parquet(docs_path)
+    analyzed.unpersist()
+    ranged.unpersist()
+
+    n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets)
+
+    # COMMIT: the manifest part row marks the batch durable
     _write_manifest_row(
         out_dir,
         f"part_{part_new:05d}",
@@ -176,8 +322,7 @@ def incremental_update(
             "index_version": version,
         },
     )
-
     row = dict(manifest["stage_docs"])
-    row.update({"n_docs": base + n_new})
+    row.update({"n_docs": n_docs})
     _write_manifest_row(out_dir, "stage_docs", row)
     return {"new_docs": n_new, "new_parts": 1}

@@ -330,6 +330,11 @@ def build_index(
             F.avg("dl").alias("avgdl"),
             F.max("dl").cast("double").alias("max_tf_sum"),
             F.lit(index_version).alias("index_version"),
+            # the bucket->directory mapping is part of the index's physical
+            # layout: persist it so readers (SearchEngine, incremental,
+            # compaction) never guess a different n_buckets and silently
+            # prune the wrong partition dirs
+            F.lit(n_buckets).alias("n_buckets"),
         )
 
         # the two stats jobs are independent — overlap them (each is a

@@ -53,11 +53,25 @@ class TermInfo:
 class SearchEngine:
     """Loads index metadata once; each ``search`` call is one Spark job."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, n_buckets: int = 16):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, n_buckets: int | None = None
+    ):
         self.spark = spark
         self.index_dir = index_dir
-        self.n_buckets = n_buckets
         corpus = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+        # bucket layout is persisted with the index (corpus_stats.n_buckets);
+        # a caller-supplied mismatch would silently prune the wrong partition
+        # dirs, so fail loudly instead
+        persisted = corpus.asDict().get("n_buckets")
+        if persisted is not None:
+            if n_buckets is not None and int(n_buckets) != int(persisted):
+                raise ValueError(
+                    f"index at {index_dir} was built with n_buckets="
+                    f"{int(persisted)}, caller requested {n_buckets}"
+                )
+            self.n_buckets = int(persisted)
+        else:  # pre-persistence index layout
+            self.n_buckets = 16 if n_buckets is None else int(n_buckets)
         self.n_docs = int(corpus["n_docs"])
         self.avgdl = float(corpus["avgdl"]) if corpus["avgdl"] else 1.0
         self.max_tf_sum = float(corpus["max_tf_sum"] or 1.0)

@@ -83,3 +83,65 @@ def test_incremental_requires_index(spark, tmp_path, split_corpora):
     shutil.rmtree(empty, ignore_errors=True)
     with pytest.raises(ValueError, match="no complete index"):
         incremental_update(spark, extra_sdf, empty)
+
+
+def test_recovery_finishes_interrupted_commit(spark, split_corpora):
+    """Crash window: everything written except the manifest part row (the
+    commit marker). Replay must repair the manifest, not lose the batch."""
+    full_dir, base_dir, extra_sdf = split_corpora
+    mrow = None
+    from pathlib import Path
+
+    for p in (Path(base_dir) / "_manifest").glob("part_*.json"):
+        if p.stem == "part_00002":  # the incremental batch's part
+            mrow = p
+    assert mrow is not None
+    mrow.unlink()  # simulate dying between documents append and commit
+
+    res = incremental_update(spark, extra_sdf, base_dir)  # replay
+    assert res == {"new_docs": 0, "new_parts": 0}
+    import json
+
+    restored = json.loads(mrow.read_text())
+    assert restored["status"] == "DONE" and restored.get("recovered") is True
+    assert restored["postings_written"] > 0
+    # index still query-identical to the full rebuild
+    for q in ["token batch", "query"]:
+        assert _scores(spark, full_dir, q) == _scores(spark, base_dir, q)
+
+
+def test_recovery_deletes_precommit_garbage(spark, split_corpora):
+    """Crash window: staging (and postings) written but the documents append
+    never landed. Replay must delete the orphan part, then re-merge."""
+    full_dir, base_dir, extra_sdf = split_corpora
+    from pathlib import Path
+
+    staging = f"{base_dir}/_staging_postings_raw"
+    docs_max = spark.read.parquet(f"{base_dir}/documents").agg(
+        F.max("doc_id")
+    ).collect()[0][0]
+    # fabricate an uncommitted part whose doc_ids are beyond documents
+    fake = (
+        spark.read.parquet(staging)
+        .limit(50)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(int(docs_max) + 1000))
+        .withColumn("part_id", F.lit(99).cast("int"))
+    )
+    fake.write.mode("append").partitionBy("part_id").parquet(staging)
+    assert Path(f"{staging}/part_id=99").exists()
+
+    res = incremental_update(spark, extra_sdf, base_dir)  # replay (no-op)
+    assert res == {"new_docs": 0, "new_parts": 0}
+    assert not Path(f"{staging}/part_id=99").exists()
+    for q in ["token batch"]:
+        assert _scores(spark, full_dir, q) == _scores(spark, base_dir, q)
+
+
+def test_n_buckets_persisted_and_enforced(spark, split_corpora):
+    full_dir, _, _ = split_corpora
+    row = spark.read.parquet(f"{full_dir}/corpus_stats").collect()[0]
+    assert int(row["n_buckets"]) == 16
+    eng = SearchEngine(spark, full_dir)  # no caller default needed
+    assert eng.n_buckets == 16
+    with pytest.raises(ValueError, match="n_buckets"):
+        SearchEngine(spark, full_dir, n_buckets=64)
