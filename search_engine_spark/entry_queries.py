@@ -35,7 +35,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.analyzer import STOPWORDS, tokens_cte_sql, terms_col
+from .functions.analyzer import (
+    STOPWORDS,
+    analyze_text,
+    lemma_case_sql,
+    tokens_cte_sql,
+    terms_col,
+)
 from .operators.index_build import B, K1, build_index
 from .operators.query import SearchEngine
 
@@ -123,7 +129,7 @@ def _score_sql(mode: str) -> str:
 
 
 def _topk_sql(terms_df_asc, mode: str, k: int = TOPK,
-              conjunctive: bool = True) -> str:
+              conjunctive: bool = True, offset: int = 0) -> str:
     """CASE-pivot + fixed-order COALESCE sum + conjunctive filter + top-k."""
     n = len(terms_df_asc)
     cases = ", ".join(
@@ -136,6 +142,7 @@ def _topk_sql(terms_df_asc, mode: str, k: int = TOPK,
         if conjunctive
         else "TRUE"
     )
+    off = f" OFFSET {offset}" if offset else ""
     return f"""
 WITH {_base_ctes()},
 partials AS (
@@ -151,7 +158,7 @@ SELECT doc_id, {total} AS score
 FROM pivoted
 WHERE {notnull}
 ORDER BY score DESC, doc_id ASC
-LIMIT {k}
+LIMIT {k}{off}
 """
 
 
@@ -298,11 +305,12 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
 def _engine_topk(
     spark: SparkSession, sf_dir: str, terms, mode: str, k: int = TOPK,
-    conjunctive: bool = True,
+    conjunctive: bool = True, max_df: int | None = None, offset: int = 0,
 ) -> DataFrame:
     eng = SearchEngine(spark, ensure_index(spark, sf_dir))
     ids = eng.search_ids(" ".join(terms), k=k, mode=mode,
-                         conjunctive=conjunctive)
+                         conjunctive=conjunctive, max_df=max_df,
+                         offset=offset)
     remap = eng.documents.select("doc_id", "turn_idx")
     return (
         ids.join(remap, "doc_id")
@@ -484,6 +492,30 @@ def q_engine_disjunctive(spark, sf_dir):
     only lossless under conjunction)."""
     return _engine_topk(
         spark, sf_dir, RARE_QUERY_TERMS, "bm25", conjunctive=False
+    )
+
+
+MAX_DF_CUTOFF = 390  # prunes 'customer' (df=394) at sf0.01, keeps 385/387
+
+
+def q_engine_maxdf_topk(spark, sf_dir):
+    """P3 df-cutoff: terms with df >= max_df are EXCLUDED from scoring but
+    do not empty the result (the reference's pickNonFrequent,
+    SearchServiceImpl.java:169-178). At sf0.01 'customer' is pruned, so
+    the oracle scores only the two surviving terms."""
+    return _engine_topk(
+        spark, sf_dir, QUERY_TERMS, "bm25", max_df=MAX_DF_CUTOFF
+    )
+
+
+PAGE_OFFSET = 5
+
+
+def q_engine_paged_topk(spark, sf_dir):
+    """O3 offset pagination (SearchServiceImpl.java:78,88-89): ranks
+    offset+1..offset+k of the same deterministic ordering."""
+    return _engine_topk(
+        spark, sf_dir, QUERY_TERMS, "bm25", k=5, offset=PAGE_OFFSET
     )
 
 
@@ -1116,6 +1148,213 @@ FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Relational analytics over the TPC-H star schema — generic join / agg /
+# window coverage beyond the search domain. Float discipline: every DOUBLE
+# money column is converted to exact integer cents (round(x*100)) BEFORE
+# aggregation, so SUMs are order-independent integers and hash-exact.
+# ---------------------------------------------------------------------------
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analog: big fact scan + filter + multi-agg. One shuffle on
+    a 6-value grouping key; partial (map-side) aggregation does the heavy
+    lifting — the canonical 100 TB reporting query shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents, disc, tax = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (100 - disc)).alias("sum_disc_e4"),
+            F.sum(cents * (100 - disc) * (100 + tax)).alias("sum_charge_e6"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_order_revenue(spark, sf_dir):
+    """Fact-fact join (orders ⋈ lineitem) + agg + top-k. Both sides are
+    large: co-partitioned shuffle join on the order key, aggregation keyed
+    the same so AQE can collapse the exchanges."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    cents, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(cents * (100 - disc)).alias("revenue_e4"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_e4"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_ORDER_REVENUE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue_e4 DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_cust_nation_region(spark, sf_dir):
+    """Broadcast-dimension join: customer ⋈ nation ⋈ region. The dims are
+    tiny — explicitly broadcast so the fact side never shuffles for the
+    join (only the final small groupBy exchanges)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_cents("c_acctbal")).alias("sum_acctbal_cents"),
+        )
+    )
+
+
+SQL_TPCH_CUST_NATION_REGION = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_semi_join(spark, sf_dir):
+    """LEFT SEMI: customers having at least one fulfilled ('F') order,
+    counted per market segment. The semi-join keeps the build side to the
+    distinct key set — no row multiplication."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_TPCH_SEMI = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY 1
+"""
+
+
+def q_tpch_anti_join(spark, sf_dir):
+    """LEFT ANTI: customers with NO pending ('P') order, per nation — the
+    visited-set/dedup join shape (S3/J4) on relational data."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_TPCH_ANTI = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+GROUP BY 1
+"""
+
+
+def q_tpch_top_orders_per_cust(spark, sf_dir):
+    """Ranked window over a fact table: top-2 orders by value per customer
+    (row_number, deterministic tie-break on the key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "o_custkey", "o_orderkey", "rnk",
+            _cents("o_totalprice").alias("totalprice_cents"),
+        )
+    )
+
+
+SQL_TPCH_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, rnk,
+       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+    FROM orders
+)
+WHERE rnk <= 2
+"""
+
+
+def q_tpch_brand_volume(spark, sf_dir):
+    """Fact ⋈ broadcast part dimension, grouped by brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+SQL_TPCH_BRAND_VOLUME = """
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-time analytics (events table) — the streaming-shaped batch ops
 # ---------------------------------------------------------------------------
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
@@ -1214,17 +1453,129 @@ FROM events
 # Non-SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
 def q_search_snippets(spark, sf_dir):
-    """Engine search with snippet highlighting (T8, SnippetCreator.java:22-37
-    parity) — pandas-UDF path, rows-only check."""
+    """Engine search with snippet highlighting (T8/P6/T7 — SnippetCreator
+    .java:19,22-37,61-102 semantics): best-sentence pick, <b> surface-form
+    highlights, 240-char word-boundary cut. The pandas-UDF output is
+    hash-checked against a full SQL reimplementation of the same spec."""
     eng = SearchEngine(spark, ensure_index(spark, sf_dir))
-    return eng.search(" ".join(QUERY_TERMS), k=TOPK)
+    res = eng.search(" ".join(QUERY_TERMS), k=TOPK)
+    return res.select(
+        F.col("turn_idx").cast("long").alias("doc_id"), "score", "snippet"
+    )
+
+
+def _sql_search_snippets() -> str:
+    """SnippetCreator semantics in DuckDB SQL, bit-identical to
+    functions/snippet.py: same sentence alphabet, same first-max tie-break,
+    same 1-based cut arithmetic, same dangling-tag close."""
+    lemmas = sorted(set(analyze_text(" ".join(QUERY_TERMS))))
+    lem_list = ", ".join(f"'{l}'" for l in lemmas)
+    hit_lemma = lemma_case_sql("lower(t)")
+    tok_lemma = lemma_case_sql("lower(tok[i])")
+    topk = _topk_sql(_oracle_terms_sorted(), "bm25").strip()
+    return f"""
+WITH topk AS ({topk}),
+base_rows AS (
+    SELECT t.doc_id, t.score, d.text
+    FROM topk t JOIN documents d USING (doc_id)
+),
+sentences AS (
+    SELECT doc_id, score,
+           string_split(
+               regexp_replace(text, '([.!?])[ \\t\\n\\r\\f\\v]+',
+                              '\\1' || chr(31), 'g'),
+               chr(31)) AS sl
+    FROM base_rows
+),
+sent AS (
+    SELECT doc_id, score, u.s['i'] AS idx, u.s['v'] AS sentence
+    FROM sentences,
+         unnest(list_transform(range(1, len(sl) + 1),
+                               i -> {{'i': i, 'v': sl[i]}})) AS u(s)
+),
+scored AS (
+    SELECT doc_id, score, idx, sentence,
+           len(list_filter(regexp_extract_all(sentence, '[a-zA-Z0-9]+'),
+               t -> ({hit_lemma}) IN ({lem_list}))) AS hits
+    FROM sent
+),
+best AS (
+    SELECT doc_id, score, sentence
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY hits DESC, idx ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+hl AS (
+    SELECT doc_id, score,
+           sep[1] || array_to_string(
+               list_transform(range(1, len(tok) + 1),
+                   i -> (CASE WHEN ({tok_lemma}) IN ({lem_list})
+                         THEN '<b>' || tok[i] || '</b>'
+                         ELSE tok[i] END) || sep[i + 1]),
+               '') AS h
+    FROM (SELECT doc_id, score,
+                 regexp_extract_all(sentence, '[a-zA-Z0-9]+') AS tok,
+                 string_split_regex(sentence, '[a-zA-Z0-9]+') AS sep
+          FROM best)
+),
+cutx AS (
+    SELECT doc_id, score, length(h) > 240 AS needs_cut,
+           CASE WHEN length(h) <= 240 THEN h ELSE substr(h, 1, 240) END AS c
+    FROM hl
+),
+cut2 AS (
+    SELECT doc_id, score, needs_cut,
+           CASE WHEN needs_cut
+                     AND strpos(reverse(c), ' ') > 0
+                     AND strpos(reverse(c), ' ') < 240
+                THEN substr(c, 1, 240 - strpos(reverse(c), ' '))
+                ELSE c END AS c2
+    FROM cutx
+)
+SELECT doc_id, score,
+       CASE WHEN NOT needs_cut THEN c2
+            ELSE (CASE WHEN (length(c2) - length(replace(c2, '<b>', ''))) / 3
+                            > (length(c2) - length(replace(c2, '</b>', ''))) / 4
+                  THEN c2 || '</b>' ELSE c2 END) || '...'
+       END AS snippet
+FROM cut2
+"""
 
 
 def q_build_manifest(spark, sf_dir):
-    """Per-partition build lineage + metrics (north-rule checkpoint state)."""
+    """Per-partition build lineage + metrics (north-rule checkpoint state).
+    Projects the deterministic columns: the per-part postings_written is
+    independently recomputable from the corpus (the oracle re-derives the
+    engine's dense doc_id assignment with ROW_NUMBER and counts (term, doc)
+    pairs per part) — a true end-to-end lineage check."""
     from .operators.index_build import manifest_df
 
-    return manifest_df(spark, ensure_index(spark, sf_dir))
+    mdf = manifest_df(spark, ensure_index(spark, sf_dir))
+    return mdf.filter(F.col("partition_id") >= 0).select(
+        "partition_id",
+        "status",
+        F.col("postings_written").cast("long").alias("postings_written"),
+    )
+
+
+# engine build defaults: n_parts=4, part_size = ceil(clean_docs / 4);
+# engine doc_id = rank in (conv_id='corpus', turn_idx=orig doc_id) order
+SQL_BUILD_MANIFEST = f"""
+WITH {_base_ctes()},
+ids AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS new_id
+    FROM documents
+    WHERE text IS NOT NULL AND regexp_replace(text, '\\s', '', 'g') <> ''
+),
+n AS (SELECT COUNT(*) AS n_docs FROM ids)
+SELECT CAST(FLOOR(ids.new_id / CAST(CEIL(n.n_docs / 4.0) AS BIGINT)) AS INTEGER)
+           AS partition_id,
+       'DONE' AS status,
+       COUNT(*) AS postings_written
+FROM tf JOIN ids USING (doc_id) CROSS JOIN n
+GROUP BY 1
+"""
 
 
 def _media_df(spark):
@@ -1338,6 +1689,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_rare_topk": q_engine_rare_topk,
     "engine_relevance_ref": q_engine_relevance_ref,
     "engine_disjunctive": q_engine_disjunctive,
+    "engine_maxdf_topk": q_engine_maxdf_topk,
+    "engine_paged_topk": q_engine_paged_topk,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "tpch_order_revenue": q_tpch_order_revenue,
+    "tpch_cust_nation_region": q_tpch_cust_nation_region,
+    "tpch_semi_join": q_tpch_semi_join,
+    "tpch_anti_join": q_tpch_anti_join,
+    "tpch_top_orders_per_cust": q_tpch_top_orders_per_cust,
+    "tpch_brand_volume": q_tpch_brand_volume,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_sigs": q_minhash_sigs,
@@ -1387,6 +1747,18 @@ ORACLES: dict[str, str] = {
     "engine_disjunctive": _topk_sql(
         list(RARE_QUERY_TERMS), "bm25", conjunctive=False
     ),
+    # P3: 'customer' (df=394 >= 390) pruned from scoring at sf0.01
+    "engine_maxdf_topk": _topk_sql(["spark", "window"], "bm25"),
+    "engine_paged_topk": _topk_sql(
+        _oracle_terms_sorted(), "bm25", k=5, offset=PAGE_OFFSET
+    ),
+    "tpch_pricing_summary": SQL_TPCH_PRICING,
+    "tpch_order_revenue": SQL_TPCH_ORDER_REVENUE,
+    "tpch_cust_nation_region": SQL_TPCH_CUST_NATION_REGION,
+    "tpch_semi_join": SQL_TPCH_SEMI,
+    "tpch_anti_join": SQL_TPCH_ANTI,
+    "tpch_top_orders_per_cust": SQL_TPCH_TOP_ORDERS,
+    "tpch_brand_volume": SQL_TPCH_BRAND_VOLUME,
     "dedup_exact": SQL_DEDUP_EXACT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "minhash_sigs": SQL_MINHASH_SIGS,
@@ -1407,5 +1779,6 @@ ORACLES: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_audio_stats": SQL_MEDIA_AUDIO_STATS,
-    # search_snippets, build_manifest: non-SQL-expressible → rows-only
+    "search_snippets": _sql_search_snippets(),
+    "build_manifest": SQL_BUILD_MANIFEST,
 }

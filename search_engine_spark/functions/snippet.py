@@ -16,7 +16,9 @@ from .analyzer import lemmatize_token
 
 SNIPPET_LEN = 240  # SnippetCreator.java:19
 
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+# explicit whitespace class (not \s): python \s also matches unicode spaces
+# while the SQL oracle's RE2 does not — keep both sides on the same alphabet
+_SENT_SPLIT = re.compile(r"(?<=[.!?])[ \t\n\r\f\v]+")
 _WORD = re.compile(r"[a-zA-Z0-9]+")
 
 
