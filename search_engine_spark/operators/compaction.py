@@ -27,12 +27,11 @@ from pathlib import Path
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .. import schemas
 from .index_build import (
-    _make_encoder,
     _manifest_path,
     _read_manifest,
     _write_manifest_row,
+    encode_salted,
 )
 
 
@@ -67,7 +66,6 @@ def compact_index(
     corpus_row = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
     avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
     term_stats = spark.read.parquet(stats_path)
-    encoder = _make_encoder(n_docs, avgdl, block_size)
 
     raw = spark.read.parquet(staging_path).withColumn(
         "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
@@ -87,9 +85,7 @@ def compact_index(
             (((F.col("doc_id") - F.lit(p * part_size)) * n_salts)
              / F.lit(part_size)).cast("int"),
         ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-        encoded = salted.groupBy("term", "part_id", "salt").applyInPandas(
-            lambda key, pdf: encoder(key, pdf), schema=schemas.POSTINGS
-        )
+        encoded = encode_salted(salted, spark, n_docs, avgdl, block_size)
         obs = Observation(f"compact_{p}_{int(t0)}")
         encoded = encoded.observe(
             obs,

@@ -47,14 +47,13 @@ from pathlib import Path
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .. import schemas
+from ..functions.analyzer import terms_col
 from .index_build import (
-    _make_encoder,
     _read_manifest,
-    _terms_udf,
     _write_manifest_row,
     assign_doc_ids,
     clean_transcripts,
+    encode_salted,
 )
 
 
@@ -229,7 +228,7 @@ def incremental_update(
         return {"new_docs": 0, "new_parts": 0}
 
     t0 = time.time()
-    analyzed = with_ids.withColumn("terms", _terms_udf()(F.col("text")))
+    analyzed = with_ids.withColumn("terms", terms_col(F.col("text")))
     analyzed = analyzed.withColumn("dl", F.size("terms")).persist()
 
     # each batch becomes ONE new part directory — a fresh overwrite of its
@@ -265,7 +264,6 @@ def incremental_update(
         .collect()[0]
     )
     avgdl = float(avg_row["a"]) if avg_row["a"] else 1.0
-    encoder = _make_encoder(docs_after, avgdl, block_size)
 
     raw_p = raw.filter(F.col("part_id") == part_new)
     joined = raw_p.join(F.broadcast(term_stats_now.select("term", "df")), "term")
@@ -278,9 +276,7 @@ def incremental_update(
         (((F.col("doc_id") - F.lit(base)) * n_salts) / F.lit(batch_span))
         .cast("int"),
     ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-    encoded = salted.groupBy("term", "part_id", "salt").applyInPandas(
-        lambda key, pdf: encoder(key, pdf), schema=schemas.POSTINGS
-    )
+    encoded = encode_salted(salted, spark, docs_after, avgdl, block_size)
     obs = Observation(f"incr_part_{part_new}_{int(t0)}")
     encoded = encoded.observe(
         obs,

@@ -7,18 +7,22 @@ Pipeline (2 wide shuffles total):
   transcripts
     -> P1 hygiene filter (blank text; EntitySaver.java:51 analog)
     -> stable dense doc_id by (conv_id, turn_idx)    [shuffle 1: range]
-    -> analyze (Arrow pandas UDF: tokenize+stop+lemmatize)
+    -> analyze (Catalyst terms_col: tokenize+stop+lemmatize, pure JVM
+       whole-stage codegen — identical to the pandas/Python/SQL analyzers
+       by the 4-way identity test)
     -> documents (+ dl) and exploded (doc_id, term, tf, dl)  [shuffle 2: agg]
     -> term_stats (df, cf), corpus_stats
     -> per doc_id-range PART (checkpoint unit):
          broadcast-join term df  -> range-salt hot terms
-         -> applyInPandas encoder: sorted, delta+varbyte blocks w/ block-max
+         -> (term,salt)-hashed sorted partitions -> mapInPandas encoder:
+            delta+varbyte blocks w/ block-max, one numpy pass per partition
          -> postings/part_id=P/bucket=B parquet + manifest row (lineage)
 
 Scale notes (100 TB / 1000 executors):
 - doc_id assignment is the two-pass range pattern — no global window, no
   zipWithIndex; boundaries from repartitionByRange, per-partition offsets
-  prefix-summed on the driver (tiny), ids filled in mapInPandas.
+  prefix-summed on the driver (tiny), ids filled by a JVM expression over
+  monotonically_increasing_id (see _doc_id_col).
 - the explode->agg shuffle is the big one; partial aggregation (Catalyst)
   combines map-side so shuffle volume is ~unique (term, doc) pairs.
 - hot terms (Zipf head) are salted into contiguous doc_id subranges so the
@@ -45,13 +49,22 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.analyzer import analyze_series
+from ..functions.analyzer import terms_col
 from ..functions.codec import varbyte_encode_sliced
 from .. import schemas
 
 K1 = 1.2
 B = 0.75
 BLOCKS_PER_SALT_CAP = 1 << 20  # block_id = salt * CAP + local
+
+
+def _plog(label: str, t0: float) -> None:
+    """Stage timing to stderr when SPARK_GRAFT_PROFILE=1 (perf work only)."""
+    if os.environ.get("SPARK_GRAFT_PROFILE"):
+        import sys
+
+        print(f"[build-profile] {label}: {time.time() - t0:.2f}s",
+              file=sys.stderr, flush=True)
 
 
 @dataclass
@@ -65,14 +78,6 @@ class IndexBuildResult:
     parts_built: int
     parts_skipped: int
     index_version: str
-
-
-def _terms_udf():
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _analyze(texts: pd.Series) -> pd.Series:
-        return analyze_series(texts)
-
-    return _analyze
 
 
 def conform_transcripts(transcripts: DataFrame) -> DataFrame:
@@ -96,11 +101,29 @@ def clean_transcripts(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(df: DataFrame, spark: SparkSession, base: int = 0) -> DataFrame:
+def _doc_id_col(offsets: dict[int, int]) -> "F.Column":
+    """Dense doc_id as a PURE JVM expression over a cached, sorted frame:
+    monotonically_increasing_id() is documented as
+    ``(partition_id << 33) + row_index_within_partition``, so subtracting
+    the partition base leaves the local row index; adding the driver-side
+    prefix-sum offset for the partition yields the global dense id. Zero
+    Python, zero Arrow, stays inside whole-stage codegen."""
+    pairs = []
+    for pid, off in offsets.items():
+        pairs.extend([F.lit(int(pid)), F.lit(int(off))])
+    offset_map = F.create_map(*pairs) if pairs else F.create_map()
+    local = F.monotonically_increasing_id() - F.shiftleft(
+        F.col("_pid").cast("long"), 33
+    )
+    return (F.element_at(offset_map, F.col("_pid")) + local).alias("doc_id")
+
+
+def assign_doc_ids(df: DataFrame, spark: SparkSession, base: int = 0):
     """Dense doc_id (starting at ``base``) in global (conv_id, turn_idx)
     order — scalable two-pass: range-shuffle + sortWithinPartitions,
-    per-partition counts prefix-summed on the driver, ids assigned in
-    mapInPandas. No global sort bottleneck.
+    per-partition counts prefix-summed on the driver (tiny collect), ids
+    filled by a JVM expression (see _doc_id_col). No global sort
+    bottleneck, no Python in the pass.
     """
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
@@ -118,23 +141,8 @@ def assign_doc_ids(df: DataFrame, spark: SparkSession, base: int = 0) -> DataFra
         acc += counts[pid]
     total = acc - base
 
-    out_schema = T.StructType(
-        df.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
-    )
-
-    def _assign(iterator):
-        local = 0
-        for pdf in iterator:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            start = offsets[pid] + local
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_id"] = np.arange(start, start + len(pdf), dtype=np.int64)
-            local += len(pdf)
-            yield pdf
-
-    result = ranged.mapInPandas(_assign, schema=out_schema)
+    cols = [f.name for f in df.schema.fields]
+    result = ranged.select(*cols, _doc_id_col(offsets))
     return result, ranged, total  # caller unpersists `ranged`
 
 
@@ -188,40 +196,87 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schemas.BUILD_MANIFEST)
 
 
-def _make_encoder(n_docs: int, avgdl: float, block_size: int):
-    """Grouped-map encoder: one (term, part, salt) group -> posting block
-    rows. Fully vectorized over the WHOLE group: one delta pass, one
-    varbyte pass per array (sliced at block boundaries), reduceat for the
-    per-block maxima — no per-block Python loop."""
+def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
+    """Partition-level mapInPandas encoder. Input partitions are hash-
+    partitioned by (term, salt) and sorted by (term, salt, doc_id); ONE
+    numpy pass per PARTITION encodes every block of every group in it —
+    the delta pass, both varbyte width/scatter passes, and the reduceat
+    block maxima all amortize across thousands of groups at once.
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term = key[0]
-        salt = int(key[2])
-        pdf = pdf.sort_values("doc_id")
+    This replaces a per-(term, salt)-group applyInPandas: with ~2k lemma
+    groups per part, per-group pandas overhead (sort_values, frame
+    construction, Arrow slicing) dominated the stage and did not scale
+    with cores (measured flat 8 -> 32 on 700k turns; the vectorized form
+    is bound by actual array math).
+
+    idf per group is computed with math.log — bit-identical to the
+    query-side scorer (query.py:_idf), which block-skip correctness
+    (score <= block_max_score) relies on."""
+
+    def encode(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
         ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
-        df_t = int(pdf["df"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-
+        dfs = pdf["df"].to_numpy(np.int64)
+        salts = pdf["salt"].to_numpy(np.int64)
+        terms = pdf["term"].to_numpy()
+        buckets = pdf["bucket"].to_numpy()
         n = ids.size
-        starts = np.arange(0, n, block_size, dtype=np.int64)
-        ends = np.minimum(starts + block_size, n)
+
+        # group boundaries over the (term, salt) sort prefix
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        if n > 1:
+            new_grp[1:] = (terms[1:] != terms[:-1]) | (
+                salts[1:] != salts[:-1]
+            )
+        grp_of_row = np.cumsum(new_grp) - 1
+        grp_start = np.flatnonzero(new_grp)
+        rel = np.arange(n, dtype=np.int64) - grp_start[grp_of_row]
+
+        # block starts: every block_size rows within a group (rel == 0 at
+        # each group start, so every group start is a block start)
+        starts = np.flatnonzero(rel % block_size == 0)
+        ends = np.append(starts[1:], n)
+        grp_of_block = grp_of_row[starts]
+        first_block_of_grp = np.flatnonzero(new_grp[starts])
+        local_block = (
+            np.arange(starts.size, dtype=np.int64)
+            - first_block_of_grp[grp_of_block]
+        )
+
         # delta within blocks: each block's first value stays absolute
+        # (cross-group diffs may wrap negative, but every group start is a
+        # block start and gets overwritten with the absolute id)
         deltas = np.empty(n, dtype=np.uint64)
-        deltas[0] = ids[0]
-        deltas[1:] = np.diff(ids).astype(np.uint64)
+        deltas[0] = np.uint64(ids[0])
+        if n > 1:
+            deltas[1:] = np.diff(ids).astype(np.uint64)
         deltas[starts] = ids[starts].astype(np.uint64)
 
+        idf_g = np.fromiter(
+            (
+                math.log(1.0 + (n_docs - int(d) + 0.5) / (int(d) + 0.5))
+                for d in dfs[grp_start]
+            ),
+            dtype=np.float64,
+            count=grp_start.size,
+        )
         denom = tfs + K1 * (1 - B + B * dls / avgdl)
-        bscores = idf * (tfs * (K1 + 1)) / denom
+        bscores = idf_g[grp_of_row] * (tfs * (K1 + 1)) / denom
 
-        return pd.DataFrame(
+        yield pd.DataFrame(
             {
-                "term": term,
-                "block_id": salt * BLOCKS_PER_SALT_CAP
-                + np.arange(starts.size, dtype=np.int64),
+                "term": terms[starts],
+                "block_id": salts[starts] * BLOCKS_PER_SALT_CAP + local_block,
                 "n": (ends - starts).astype(np.int32),
                 "doc_ids": varbyte_encode_sliced(deltas, starts),
                 "tfs": varbyte_encode_sliced(tfs.astype(np.uint64), starts),
@@ -230,12 +285,36 @@ def _make_encoder(n_docs: int, avgdl: float, block_size: int):
                 "last_doc_id": ids[ends - 1],
                 "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
                 "block_max_score": np.maximum.reduceat(bscores, starts),
-                "bucket": bucket,
+                "bucket": buckets[starts],
             },
             columns=[f.name for f in schemas.POSTINGS.fields],
         )
 
     return encode
+
+
+def encode_salted(
+    salted: DataFrame,
+    spark: SparkSession,
+    n_docs: int,
+    avgdl: float,
+    block_size: int,
+) -> DataFrame:
+    """Shuffle ``salted`` (term, salt, doc_id, tf, dl, df, bucket rows) into
+    (term, salt)-hashed, (term, salt, doc_id)-sorted partitions and encode
+    each partition's posting blocks in one vectorized pass. Partition count
+    follows spark.sql.shuffle.partitions — size it so a partition's rows
+    fit executor memory (same invariant applyInPandas demanded per group,
+    now amortized over many groups)."""
+    n_enc = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    prepared = (
+        salted.select("term", "salt", "doc_id", "tf", "dl", "df", "bucket")
+        .repartition(n_enc, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+    )
+    return prepared.mapInPandas(
+        _make_part_encoder(n_docs, avgdl, block_size), schema=schemas.POSTINGS
+    )
 
 
 def build_index(
@@ -250,7 +329,7 @@ def build_index(
     index_version: str = "v1",
     resume: bool = True,
     fail_after_parts: int | None = None,  # test hook: simulate a killed job
-    part_concurrency: int = 1,  # concurrent part jobs (Spark schedules both)
+    part_concurrency: int = 2,  # concurrent part jobs (Spark schedules both)
 ) -> IndexBuildResult:
     """Full index build with per-part checkpoint/resume."""
     out = Path(out_dir)
@@ -267,90 +346,172 @@ def build_index(
     corpus_path = str(out / "corpus_stats")
     postings_path = str(out / "postings")
 
-    # ---------------- Stage A: documents + exploded staging ----------------
+    # ---------------- Stage A+B: documents, staging, stats ------------------
+    # One materializing pass (shuffle+sort -> cache of the RAW text, counted
+    # by the same job that fills the doc_id offsets), then TWO independent
+    # write chains run concurrently off the cache:
+    #   thread 1: documents write (corpus_stats piggy-backs as an
+    #             Observation on the same action — no second docs pass)
+    #   thread 2: staging write (analyzer -> explode -> tf agg), then
+    #             term_stats from the staging cache (no re-read)
+    # The analyzer is the Catalyst terms_col expression — the whole stage
+    # is JVM-side whole-stage codegen; no Python worker, no Arrow transfer.
+    # (terms are computed independently per chain: recomputing the codegen
+    # expression is cheaper than caching exploded string arrays.)
+    # Serial driver work per build: the range-sample pass, ONE counts
+    # collect, and the commit — everything else overlaps or is parallel.
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         t0 = time.time()
         clean = clean_transcripts(transcripts)
-        with_ids, ranged, n_docs = assign_doc_ids(clean, spark)
-        analyzed = with_ids.withColumn("terms", _terms_udf()(F.col("text")))
-        analyzed = analyzed.withColumn("dl", F.size("terms")).persist()
-
-        documents = analyzed.select(
-            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"
-        )
-        documents.write.mode("overwrite").parquet(docs_path)
-
+        with_ids, cached, n_docs = assign_doc_ids(clean, spark)
+        _plog("shuffle+count (materialize cache)", t0)
         part_size = max(1, math.ceil(n_docs / n_parts))
+
+        corpus_ob = Observation(f"corpus_{int(t0)}")
+        documents = with_ids.withColumn(
+            "dl", F.size(terms_col(F.col("text")))
+        ).select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"
+        ).observe(
+            corpus_ob,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.max("dl").cast("double").alias("max_tf_sum"),
+        )
+
         exploded = (
-            analyzed.select("doc_id", "dl", F.explode("terms").alias("term"))
+            with_ids.select(
+                "doc_id", terms_col(F.col("text")).alias("terms")
+            )
+            .withColumn("dl", F.size("terms"))
+            .select("doc_id", "dl", F.explode("terms").alias("term"))
             .groupBy("term", "doc_id", "dl")  # dl functionally dep. on doc_id
             .agg(F.count("*").alias("tf"))
             .withColumn(
                 "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
             )
-        )
-        exploded.write.mode("overwrite").partitionBy("part_id").parquet(
-            staging_path
-        )
-        analyzed.unpersist()
-        ranged.unpersist()
-        _write_manifest_row(
-            out_dir,
-            "stage_docs",
-            {
-                "partition_id": -1,
-                "status": "DONE",
-                "started_ts": t0,
-                "finished_ts": time.time(),
-                "index_version": index_version,
-                "n_docs": n_docs,
-                "part_size": part_size,
-            },
-        )
-        manifest = _read_manifest(out_dir)
-
-    n_docs = int(manifest["stage_docs"]["n_docs"])
-    part_size = int(manifest["stage_docs"]["part_size"])
-
-    # ---------------- Stage B: term_stats + corpus_stats -------------------
-    n_terms_obs: dict[str, int] = {}
-    if manifest.get("stage_stats", {}).get("status") != "DONE":
-        t0 = time.time()
-        raw = spark.read.parquet(staging_path)
-        term_stats = raw.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
+            .persist()
         )
         stats_ob = Observation(f"stats_{int(t0)}")
-        term_stats = term_stats.observe(
-            stats_ob, F.count(F.lit(1)).alias("n_terms")
-        )
-        docs = spark.read.parquet(docs_path)
-        corpus = docs.agg(
+
+        def _write_docs_corpus() -> None:
+            tw = time.time()
+            documents.write.mode("overwrite").parquet(docs_path)
+            _plog("documents write", tw)
+            m = corpus_ob.get
+            corpus_pdf = pd.DataFrame(
+                [
+                    {
+                        "n_docs": int(m["n_docs"] or 0),
+                        "avgdl": float(m["avgdl"]) if m["avgdl"] else None,
+                        "max_tf_sum": float(m["max_tf_sum"] or 0.0),
+                        "index_version": index_version,
+                        # the bucket->directory mapping is part of the
+                        # index's physical layout: persist it so readers
+                        # never guess a different n_buckets
+                        "n_buckets": int(n_buckets),
+                    }
+                ]
+            )
+            spark.createDataFrame(
+                corpus_pdf, schema=schemas.CORPUS_STATS
+            ).write.mode("overwrite").parquet(corpus_path)
+
+        def _materialize_stats() -> None:
+            # FIRST action on `exploded`: pays the explode+agg shuffle once
+            # and materializes the cache; term_stats lands as a durable table
+            tw = time.time()
+            term_stats_df = exploded.groupBy("term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
+            ).observe(stats_ob, F.count(F.lit(1)).alias("n_terms"))
+            term_stats_df.write.mode("overwrite").parquet(stats_path)
+            _plog("term_stats write (materialize tf cache)", tw)
+
+        def _write_staging() -> None:
+            # durability artifact only (resume/incremental/compaction read
+            # it) — stage C encodes from the cache, so this write overlaps
+            # the part-encode jobs instead of gating them
+            tw = time.time()
+            exploded.write.mode("overwrite").partitionBy("part_id").parquet(
+                staging_path
+            )
+            _plog("staging write", tw)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=3)
+        f_docs = ex.submit(_write_docs_corpus)
+        f_stats = ex.submit(_materialize_stats)
+        f_stats.result()
+        f_staging = ex.submit(_write_staging)
+        f_docs.result()
+
+        def _finalize_stage_a() -> None:
+            # stage rows are the stage-A commit markers: written only after
+            # EVERY stage-A artifact (docs, corpus, stats, staging) is
+            # durable. Part rows may land earlier — safe, because doc_ids
+            # are deterministic: a resume that redoes stage A regenerates
+            # identical ids, so already-DONE parts stay valid.
+            f_staging.result()
+            now = time.time()
+            _write_manifest_row(
+                out_dir,
+                "stage_docs",
+                {
+                    "partition_id": -1,
+                    "status": "DONE",
+                    "started_ts": t0,
+                    "finished_ts": now,
+                    "index_version": index_version,
+                    "n_docs": n_docs,
+                    "part_size": part_size,
+                },
+            )
+            _write_manifest_row(
+                out_dir,
+                "stage_stats",
+                {
+                    "partition_id": -1,
+                    "status": "DONE",
+                    "started_ts": t0,
+                    "finished_ts": now,
+                    "index_version": index_version,
+                    "n_terms": int(stats_ob.get["n_terms"] or 0),
+                },
+            )
+            ex.shutdown(wait=True)
+
+        m = corpus_ob.get
+        fresh = {
+            "exploded": exploded,
+            "cached": cached,
+            "finalize": _finalize_stage_a,
+            "avgdl": float(m["avgdl"]) if m["avgdl"] else 1.0,
+            "max_tf_sum": float(m["max_tf_sum"] or 0.0),
+        }
+    else:
+        fresh = None
+        n_docs = int(manifest["stage_docs"]["n_docs"])
+        part_size = int(manifest["stage_docs"]["part_size"])
+
+    # Resume fallback (old-layout index: stage_docs DONE, stats missing):
+    # recompute stats from the durable staging/documents tables
+    if fresh is None and manifest.get("stage_stats", {}).get("status") != "DONE":
+        t0 = time.time()
+        raw = spark.read.parquet(staging_path)
+        stats_ob = Observation(f"stats_{int(t0)}")
+        raw.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        ).observe(stats_ob, F.count(F.lit(1)).alias("n_terms")).write.mode(
+            "overwrite"
+        ).parquet(stats_path)
+        spark.read.parquet(docs_path).agg(
             F.count("*").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
             F.max("dl").cast("double").alias("max_tf_sum"),
             F.lit(index_version).alias("index_version"),
-            # the bucket->directory mapping is part of the index's physical
-            # layout: persist it so readers (SearchEngine, incremental,
-            # compaction) never guess a different n_buckets and silently
-            # prune the wrong partition dirs
             F.lit(n_buckets).alias("n_buckets"),
-        )
-
-        # the two stats jobs are independent — overlap them (each is a
-        # separate Spark job; the scheduler interleaves their stages)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f1 = ex.submit(
-                lambda: term_stats.write.mode("overwrite").parquet(stats_path)
-            )
-            f2 = ex.submit(
-                lambda: corpus.write.mode("overwrite").parquet(corpus_path)
-            )
-            f1.result()
-            f2.result()
-        n_terms_obs["n"] = int(stats_ob.get["n_terms"] or 0)
+        ).write.mode("overwrite").parquet(corpus_path)
         _write_manifest_row(
             out_dir,
             "stage_stats",
@@ -360,18 +521,22 @@ def build_index(
                 "started_ts": t0,
                 "finished_ts": time.time(),
                 "index_version": index_version,
-                "n_terms": n_terms_obs["n"],
+                "n_terms": int(stats_ob.get["n_terms"] or 0),
             },
         )
         manifest = _read_manifest(out_dir)
 
-    corpus_row = spark.read.parquet(corpus_path).collect()[0]
-    avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
-    max_tf_sum = float(corpus_row["max_tf_sum"] or 0.0)
+    if fresh is not None:
+        avgdl = fresh["avgdl"]
+        max_tf_sum = fresh["max_tf_sum"]
+    else:
+        corpus_row = spark.read.parquet(corpus_path).collect()[0]
+        avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
+        max_tf_sum = float(corpus_row["max_tf_sum"] or 0.0)
 
     # ---------------- Stage C: per-part posting encode ---------------------
     term_stats = spark.read.parquet(stats_path)
-    encoder = _make_encoder(n_docs, avgdl, block_size)
+    staging_src = fresh["exploded"] if fresh is not None else None
     actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
     todo = [
         p for p in range(actual_parts)
@@ -381,8 +546,14 @@ def build_index(
 
     def _build_part(p: int) -> None:
         t0 = time.time()
+        tpart = t0
         part_lo = p * part_size
-        raw_p = spark.read.parquet(staging_path).filter(F.col("part_id") == p)
+        base_df = (
+            staging_src
+            if staging_src is not None
+            else spark.read.parquet(staging_path)
+        )
+        raw_p = base_df.filter(F.col("part_id") == p)
         joined = raw_p.join(
             F.broadcast(term_stats.select("term", "df")), "term"
         )
@@ -398,9 +569,7 @@ def build_index(
                 / F.lit(part_size)
             ).cast("int"),
         ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-        encoded = salted.groupBy("term", "part_id", "salt").applyInPandas(
-            lambda key, pdf: encoder(key, pdf), schema=schemas.POSTINGS
-        )
+        encoded = encode_salted(salted, spark, n_docs, avgdl, block_size)
         part_dir = f"{postings_path}/part_id={p}"
         # lineage metrics piggy-back on the write action (Observation) —
         # no second pass over the encoded part
@@ -417,6 +586,7 @@ def build_index(
             F.count(F.lit(1)).alias("blocks"),
         )
         encoded.write.mode("overwrite").partitionBy("bucket").parquet(part_dir)
+        _plog(f"part {p} encode+write", tpart)
         m = obs.get
         _write_manifest_row(
             out_dir,
@@ -434,25 +604,34 @@ def build_index(
             },
         )
 
-    if fail_after_parts is not None:
-        # deterministic sequential order for the kill-simulation test hook
-        for i, p in enumerate(todo):
-            if i >= fail_after_parts:
-                raise RuntimeError(f"simulated kill before part {p}")
-            _build_part(p)
-        built = min(len(todo), fail_after_parts)
-    elif part_concurrency > 1 and len(todo) > 1:
-        # parts are independent jobs (own output dir + manifest row); the
-        # Spark scheduler interleaves their stages across the executor pool
-        from concurrent.futures import ThreadPoolExecutor
+    try:
+        if fail_after_parts is not None:
+            # deterministic sequential order for the kill-simulation hook
+            for i, p in enumerate(todo):
+                if i >= fail_after_parts:
+                    raise RuntimeError(f"simulated kill before part {p}")
+                _build_part(p)
+            built = min(len(todo), fail_after_parts)
+        elif part_concurrency > 1 and len(todo) > 1:
+            # parts are independent jobs (own output dir + manifest row);
+            # the scheduler interleaves their stages across the worker pool
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=part_concurrency) as ex:
-            list(ex.map(_build_part, todo))
-        built = len(todo)
-    else:
-        for p in todo:
-            _build_part(p)
-        built = len(todo)
+            with ThreadPoolExecutor(max_workers=part_concurrency) as pex:
+                list(pex.map(_build_part, todo))
+            built = len(todo)
+        else:
+            for p in todo:
+                _build_part(p)
+            built = len(todo)
+    finally:
+        # join the overlapped staging write + commit stage rows even when a
+        # part job dies (matches pre-overlap semantics: stage A commits
+        # independently of stage C outcomes)
+        if fresh is not None:
+            fresh["finalize"]()
+            fresh["cached"].unpersist()
+            fresh["exploded"].unpersist()
 
     manifest = _read_manifest(out_dir)
     total_blocks = sum(

@@ -72,9 +72,12 @@ DOC_STATS = T.StructType(
 CORPUS_STATS = T.StructType(
     [
         T.StructField("n_docs", T.LongType(), False),
-        T.StructField("avgdl", T.DoubleType(), False),
+        T.StructField("avgdl", T.DoubleType(), True),
         T.StructField("max_tf_sum", T.DoubleType(), False),
         T.StructField("index_version", T.StringType(), False),
+        # bucket->directory layout (physical index property; readers resolve
+        # it from here instead of trusting a caller default)
+        T.StructField("n_buckets", T.IntegerType(), False),
     ]
 )
 
