@@ -1019,6 +1019,241 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {EMBED_DUP_THRESHOLD}
 """
 
 
+IVF_K = 8        # coarse cells; deterministic quantizer = first K vectors
+IVF_NPROBE = 2   # cells probed per query
+
+
+def _py_dot(u: list[float], v: list[float]) -> float:
+    """Sequential left fold — same accumulation order as _dot /
+    list_dot_product (driver-side probe selection must match the oracle
+    bit-for-bit)."""
+    acc = 0.0
+    for a, b in zip(u, v):
+        acc += a * b
+    return acc
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: the corpus is partitioned into IVF_K coarse cells by
+    argmin L2 distance to centroid vectors; a query probes only the
+    IVF_NPROBE nearest cells and ranks them exactly. Centroids here are a
+    deterministic quantizer (the first K vectors by vec_id) standing in
+    for trained k-means — the Spark plumbing is identical either way:
+    tiny broadcast centroid set, JVM-side argmin assignment, and at scale
+    `cell` becomes a partition column so a probe is a pruned directory
+    scan (same layout trick as the postings buckets). q_cosine_topk is
+    the exact-recall reference."""
+    e = _emb(spark, sf_dir)
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < IVF_K).collect()
+    }
+    q = _query_vec(spark, sf_dir)
+    # probe selection: same d = q.q - 2*q.c + c.c form + (d, k) tie-break
+    # as the SQL oracle's ROW_NUMBER ordering
+    qq = _py_dot(q, q)
+    order = sorted(
+        range(IVF_K),
+        key=lambda k: (
+            qq - 2 * _py_dot(q, cents[k]) + _py_dot(cents[k], cents[k]),
+            k,
+        ),
+    )
+    probes = [int(p) for p in order[:IVF_NPROBE]]
+
+    dists = F.array(
+        *[
+            _dot(F.col("embedding"), F.col("embedding"))
+            - 2 * _dot(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in cents[k]]),
+            )
+            + F.lit(_py_dot(cents[k], cents[k]))
+            for k in range(IVF_K)
+        ]
+    )
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    qnorm = math.sqrt(qq)
+    qcol = F.array(*[F.lit(x) for x in q])
+    sim = _dot(F.col("embedding"), qcol) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
+    )
+    return (
+        e.withColumn("cell", cell)
+        .filter(F.col("cell").isin(probes))
+        .select("vec_id", "cell", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+    SELECT vec_id AS k, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id < {IVF_K}
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+    SELECT k FROM cents CROSS JOIN q
+    ORDER BY list_dot_product(qv, qv) - 2*list_dot_product(qv, cv)
+             + list_dot_product(cv, cv), k
+    LIMIT {IVF_NPROBE}
+),
+asg AS (
+    SELECT e.vec_id, c.k,
+           list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           - 2*list_dot_product(e.embedding::DOUBLE[], c.cv)
+           + list_dot_product(c.cv, c.cv) AS d
+    FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+    SELECT vec_id, CAST(k AS INTEGER) AS cell FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+        FROM asg
+    ) WHERE rn = 1
+)
+SELECT e.vec_id, cells.cell,
+       list_dot_product(e.embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))) AS sim
+FROM embeddings e
+JOIN cells ON e.vec_id = cells.vec_id
+CROSS JOIN q
+WHERE cells.cell IN (SELECT k FROM probes)
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 linear quantization per vector — the storage format
+    a 100 TB embedding corpus actually ships (4x smaller than fp32, dot
+    products stay SIMD-able). scale = max|x|/127; q_i = floor(x_i/scale
+    + 0.5) (explicit half-up, identical expression in Spark and the SQL
+    oracle — never bare round(), whose tie rule differs by engine); plus
+    the max absolute reconstruction error as a quality audit column."""
+    e = _emb(spark, sf_dir)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    scale = F.greatest(maxabs, F.lit(1e-12)) / F.lit(127.0)
+    qv = F.transform(
+        emb, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+    )
+    err = F.array_max(
+        F.zip_with(
+            qv, emb, lambda qq, x: F.abs(qq.cast("double") * scale - x)
+        )
+    )
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        qv.alias("qvec"),
+        err.alias("max_err"),
+    )
+
+
+SQL_EMBED_QUANTIZE = """
+SELECT vec_id,
+  greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12)
+    / 127.0::DOUBLE AS scale,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x / scale + 0.5::DOUBLE) AS INTEGER)) AS qvec,
+  list_max(list_transform(list_zip(
+      list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x / scale + 0.5::DOUBLE) AS INTEGER)),
+      embedding::DOUBLE[]),
+    p -> abs(p[1]::DOUBLE * scale - p[2]))) AS max_err
+FROM embeddings
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: connected components over the capped LSH
+    candidate pairs — the step that turns a pair list into dedup GROUPS
+    (keep one doc per component). Min-label propagation: every doc starts
+    as its own label; each iteration every doc takes the min label among
+    itself and its neighbors; fixpoint = component id = min doc_id in the
+    component. Each iteration is one shuffle (join + groupBy min) over
+    the edge list — the standard big-data CC loop (GraphX/pregel shape)
+    with O(component diameter) rounds; lineage is truncated per round
+    with localCheckpoint so plans stay flat. The oracle computes true
+    components via a recursive-CTE transitive closure."""
+    pairs = q_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .persist()
+    )
+    edges.count()
+    labels = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(50):
+        nbrs = labels.select(
+            F.col("doc_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+        )
+        prop = (
+            edges.join(nbrs, edges["doc_b"] == nbrs["nbr_id"])
+            .groupBy("doc_a")
+            .agg(F.min("nbr_label").alias("nlabel"))
+        )
+        merged = (
+            labels.join(prop, labels["doc_id"] == prop["doc_a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        old = labels.select(
+            "doc_id", F.col("label").alias("old_label")
+        )
+        changed = (
+            merged.join(old, "doc_id")
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (
+    SELECT doc_a, doc_b FROM ({_sql_lsh_pairs()})
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+         AS component
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis ops
 # ---------------------------------------------------------------------------
@@ -1709,6 +1944,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
     "embed_dup_pairs": q_embed_dup_pairs,
+    "ann_ivf": q_ann_ivf,
+    "embed_quantize": q_embed_quantize,
+    "dedup_components": q_dedup_components,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -1770,6 +2008,9 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_bucketed": _sql_ann_bucketed(),
     "embed_dup_pairs": _sql_embed_dup_pairs(),
+    "ann_ivf": SQL_ANN_IVF,
+    "embed_quantize": SQL_EMBED_QUANTIZE,
+    "dedup_components": _sql_dedup_components(),
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality(),
     "token_counts": _sql_token_counts(),
