@@ -61,7 +61,7 @@ ANN_PROBES = 1 + ANN_SIGN_DIMS  # query bucket + all Hamming-1 neighbors
 EMBED_BUCKET_CAP = 1024  # sign-bucket cap for the near-dup self-join
 TOPK = 10
 FP_MOD = 1_000_000_007
-BUILD_TAG = "v3"     # bump to invalidate cached /tmp indexes
+BUILD_TAG = "v4"     # bump to invalidate cached /tmp indexes
 
 _WS = "[ \\t\\n\\r]+"  # explicit class: java regex \s and RE2 \s differ on \x0B
 

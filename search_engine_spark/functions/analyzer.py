@@ -8,10 +8,12 @@ Reference pipeline parity (LemmaFinderImpl.java:19-39):
 
 The reference uses a Russian dictionary morphology (Lucene
 RussianLuceneMorphology); no morphology libraries exist in this sandbox, so
-we vendor a deterministic suffix-rule lemmatizer for English-ish transcript
-text. What we preserve is the *pipeline semantics* — normalize, tokenize,
-stop-filter, map each surface form to one canonical lemma, count — not the
-Russian dictionary.
+we vendor a deterministic lemmatizer for English-ish transcript text: an
+IRREGULARS dictionary (the direct analog of the reference's
+dictionary-lookup morphology) backed by a suffix-rule table. What we
+preserve is the *pipeline semantics* — normalize, tokenize, stop-filter,
+map each surface form to one canonical lemma, count — not the Russian
+dictionary.
 
 ONE rule table drives FOUR implementations guaranteed identical:
   * ``analyze_text``     — pure Python (driver-side query analysis, oracle)
@@ -57,6 +59,28 @@ _RULES: tuple[tuple[str, int, int, str, tuple[str, ...]], ...] = (
     ("ed", 5, 2, "", ()),
 )
 
+# Irregular surface form -> lemma (the analog of the reference's DICTIONARY
+# morphology, LemmaFinderImpl.java:26-31 — a lookup beats any suffix rule).
+# Exact-token match applied BEFORE the suffix rules; stop-words never appear
+# here (they are filtered earlier). Frozen like the rule table: changing it
+# changes index semantics (ANALYZER_VERSION below must be bumped).
+IRREGULARS: dict[str, str] = {
+    "went": "go", "gone": "go", "ran": "run", "saw": "see",
+    "took": "take", "taken": "take", "gave": "give", "given": "give",
+    "made": "make", "found": "find", "built": "build", "bought": "buy",
+    "brought": "bring", "thought": "think", "held": "hold", "kept": "keep",
+    "left": "leave", "lost": "lose", "met": "meet", "paid": "pay",
+    "said": "say", "sold": "sell", "told": "tell", "wrote": "write",
+    "written": "write", "mice": "mouse", "men": "man", "women": "woman",
+    "children": "child", "feet": "foot", "teeth": "tooth", "geese": "goose",
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+}
+
+# Bump whenever STOPWORDS / _RULES / IRREGULARS change: an index built with
+# a different analyzer version cannot be incrementally extended (documents
+# would tokenize differently than the postings they join against).
+ANALYZER_VERSION = "a2"
+
 _NONWORD_RE = re.compile(r"[^a-z0-9]+")
 
 
@@ -64,6 +88,9 @@ _NONWORD_RE = re.compile(r"[^a-z0-9]+")
 # Pure Python (driver-side: query analysis; also the pandas oracle)
 # --------------------------------------------------------------------------
 def lemmatize_token(w: str) -> str:
+    hit = IRREGULARS.get(w)
+    if hit is not None:
+        return hit
     for suffix, minlen, drop, add, excl in _RULES:
         if len(w) >= minlen and w.endswith(suffix) and not any(
             w.endswith(e) for e in excl
@@ -93,6 +120,7 @@ def analyze_text(text: str | None) -> list[str]:
 def lemmatize_series(tokens: pd.Series) -> pd.Series:
     """Vectorized lemmatizer over a flat Series of tokens."""
     s = tokens.astype(str)
+    mapped = s.map(IRREGULARS)  # NaN where not an irregular form
     lengths = s.str.len()
     conds, stems = [], []
     claimed = pd.Series(False, index=s.index)
@@ -106,8 +134,10 @@ def lemmatize_series(tokens: pd.Series) -> pd.Series:
         if add:
             stemmed = stemmed + add
         stems.append(stemmed.to_numpy())
+    ruled = np.select(conds, stems, default=s.to_numpy())
     return pd.Series(
-        np.select(conds, stems, default=s.to_numpy()), index=s.index
+        np.where(mapped.notna().to_numpy(), mapped.to_numpy(), ruled),
+        index=s.index,
     )
 
 
@@ -146,7 +176,14 @@ def _lemma_col(t: Column) -> Column:
         if add:
             stemmed = F.concat(stemmed, F.lit(add))
         expr = F.when(cond, stemmed).otherwise(expr)
-    return expr
+    # irregular lookup wins over every suffix rule (literal map -> NULL miss)
+    irr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in IRREGULARS.items() for x in kv]
+        ),
+        t,
+    )
+    return F.coalesce(irr, expr)
 
 
 def terms_col(text: Column) -> Column:
@@ -162,7 +199,12 @@ def terms_col(text: Column) -> Column:
 # ANSI SQL (DuckDB oracle — generated from the same rule table)
 # --------------------------------------------------------------------------
 def lemma_case_sql(var: str = "tok") -> str:
-    """CASE expression applying the rule chain to SQL variable ``var``."""
+    """CASE expression applying irregular lookup + the rule chain to SQL
+    variable ``var`` — generated from the same tables as the other three
+    implementations."""
+    irr = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in IRREGULARS.items()
+    )
     whens = []
     for suffix, minlen, drop, add, excl in _RULES:
         cond = f"length({var}) >= {minlen} AND {var} LIKE '%{suffix}'"
@@ -172,7 +214,8 @@ def lemma_case_sql(var: str = "tok") -> str:
         if add:
             result += f" || '{add}'"
         whens.append(f"WHEN {cond} THEN {result}")
-    return "CASE " + " ".join(whens) + f" ELSE {var} END"
+    rules = "CASE " + " ".join(whens) + f" ELSE {var} END"
+    return f"CASE {var} {irr} ELSE {rules} END"
 
 
 def stopword_sql_list() -> str:

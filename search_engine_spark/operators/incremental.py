@@ -47,7 +47,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.analyzer import terms_col
+from ..functions.analyzer import ANALYZER_VERSION, terms_col
 from .index_build import (
     _read_manifest,
     _write_manifest_row,
@@ -197,6 +197,14 @@ def incremental_update(
     manifest = _read_manifest(out_dir)
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         raise ValueError(f"no complete index at {out_dir}; run build_index first")
+    built_with = manifest["stage_docs"].get("analyzer_version", "a1")
+    if built_with != ANALYZER_VERSION:
+        raise ValueError(
+            f"index at {out_dir} was built with analyzer {built_with}, "
+            f"current analyzer is {ANALYZER_VERSION}: new turns would "
+            "tokenize differently than the existing postings — rebuild "
+            "with build_index(resume=False)"
+        )
     version = index_version or manifest["stage_docs"].get("index_version", "v1")
     n_buckets = resolve_n_buckets(spark, out_dir, n_buckets)
     manifest = _recover_uncommitted(spark, out_dir, manifest, n_buckets)

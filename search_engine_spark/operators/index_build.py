@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.analyzer import terms_col
+from ..functions.analyzer import ANALYZER_VERSION, terms_col
 from ..functions.codec import varbyte_encode_sliced
 from .. import schemas
 
@@ -463,6 +463,10 @@ def build_index(
                     "started_ts": t0,
                     "finished_ts": now,
                     "index_version": index_version,
+                    # new documents must tokenize exactly like the postings
+                    # they join against — incremental_update refuses an
+                    # index stamped with a different analyzer version
+                    "analyzer_version": ANALYZER_VERSION,
                     "n_docs": n_docs,
                     "part_size": part_size,
                 },

@@ -37,6 +37,14 @@ GOLDENS = [
     ("merged merging merge", {"merg": 2, "merge": 1}),
     # 'us'/'is'/'ss' suffixes are excluded from the s-drop rule
     ("bonus axis press", {"bonus": 1, "axis": 1, "press": 1}),
+    # irregular dictionary forms collapse onto their lemma (and beat the
+    # suffix rules: 'children' must NOT stem to 'childre'); regular forms
+    # of the same lemma still go through the rule chain
+    (
+        "The children went home; the child goes home",
+        {"child": 2, "go": 1, "home": 2, "goe": 1},
+    ),
+    ("wrote written writes", {"write": 3}),
 ]
 
 
@@ -56,6 +64,12 @@ def test_lemma_rules():
     assert lemmatize_token("parsed") == "pars"
     assert lemmatize_token("as") == "as"  # too short
     assert lemmatize_token("123") == "123"
+    # irregulars: dictionary lookup wins over every suffix rule
+    assert lemmatize_token("children") == "child"
+    assert lemmatize_token("went") == "go"
+    assert lemmatize_token("best") == "good"
+    assert lemmatize_token("mice") == "mouse"
+    assert lemmatize_token("written") == "write"
 
 
 # --- implementation identity --------------------------------------------
@@ -66,6 +80,7 @@ TEXTS = [
     "mixing CASES with-hyphens and_underscores",
     "unicode √ stripped ños parsed",
     "ssss us is ss",
+    "children went BETTER mice; wentx childrens",
 ]
 
 

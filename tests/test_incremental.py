@@ -145,3 +145,21 @@ def test_n_buckets_persisted_and_enforced(spark, split_corpora):
     assert eng.n_buckets == 16
     with pytest.raises(ValueError, match="n_buckets"):
         SearchEngine(spark, full_dir, n_buckets=64)
+
+
+def test_analyzer_version_mismatch_refused(spark, split_corpora, tmp_path):
+    """An index stamped with a different analyzer version must refuse
+    incremental updates (its postings would not match new tokenization)."""
+    import json
+    from pathlib import Path as P
+
+    full_dir, _, extra_sdf = split_corpora
+    # clone just the manifest marker into a scratch copy of the index
+    idx = str(tmp_path / "idx_oldver")
+    shutil.copytree(full_dir, idx)
+    mrow = P(idx) / "_manifest" / "stage_docs.json"
+    row = json.loads(mrow.read_text())
+    row["analyzer_version"] = "a0-legacy"
+    mrow.write_text(json.dumps(row))
+    with pytest.raises(ValueError, match="analyzer"):
+        incremental_update(spark, extra_sdf, idx)
