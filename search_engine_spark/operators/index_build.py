@@ -101,28 +101,55 @@ def clean_transcripts(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def _doc_id_col(offsets: dict[int, int]) -> "F.Column":
-    """Dense doc_id as a PURE JVM expression over a cached, sorted frame:
+# above this partition count the per-partition offsets ride a broadcast
+# join instead of a literal map expression (a 50k-partition cluster job
+# would otherwise inline a 100k-literal expression into codegen)
+OFFSET_MAP_LITERAL_CAP = 1024
+
+
+def _local_row_col() -> "F.Column":
+    """Row index within the current partition as a pure JVM expression:
     monotonically_increasing_id() is documented as
-    ``(partition_id << 33) + row_index_within_partition``, so subtracting
-    the partition base leaves the local row index; adding the driver-side
-    prefix-sum offset for the partition yields the global dense id. Zero
-    Python, zero Arrow, stays inside whole-stage codegen."""
-    pairs = []
-    for pid, off in offsets.items():
-        pairs.extend([F.lit(int(pid)), F.lit(int(off))])
-    offset_map = F.create_map(*pairs) if pairs else F.create_map()
-    local = F.monotonically_increasing_id() - F.shiftleft(
+    ``(partition_id << 33) + row_index_within_partition``; subtracting the
+    partition base leaves the local index."""
+    return F.monotonically_increasing_id() - F.shiftleft(
         F.col("_pid").cast("long"), 33
     )
-    return (F.element_at(offset_map, F.col("_pid")) + local).alias("doc_id")
+
+
+def _with_doc_ids(
+    spark: SparkSession, ranged: DataFrame, offsets: dict[int, int],
+    cols: list[str],
+) -> DataFrame:
+    """doc_id = offsets[_pid] + local_row over a cached, sorted frame —
+    zero Python, zero Arrow. Offsets travel as a literal map expression
+    (small partition counts) or a broadcast-joined offsets table (large),
+    both staying inside whole-stage codegen."""
+    if len(offsets) <= OFFSET_MAP_LITERAL_CAP:
+        pairs = []
+        for pid, off in offsets.items():
+            pairs.extend([F.lit(int(pid)), F.lit(int(off))])
+        offset_map = F.create_map(*pairs) if pairs else F.create_map()
+        doc_id = (
+            F.element_at(offset_map, F.col("_pid")) + _local_row_col()
+        ).alias("doc_id")
+        return ranged.select(*cols, doc_id)
+    offsets_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        schema="_pid int, _offset long",
+    )
+    return (
+        ranged.withColumn("_local", _local_row_col())
+        .join(F.broadcast(offsets_df), "_pid")
+        .select(*cols, (F.col("_offset") + F.col("_local")).alias("doc_id"))
+    )
 
 
 def assign_doc_ids(df: DataFrame, spark: SparkSession, base: int = 0):
     """Dense doc_id (starting at ``base``) in global (conv_id, turn_idx)
     order — scalable two-pass: range-shuffle + sortWithinPartitions,
     per-partition counts prefix-summed on the driver (tiny collect), ids
-    filled by a JVM expression (see _doc_id_col). No global sort
+    filled by a JVM expression (see _with_doc_ids). No global sort
     bottleneck, no Python in the pass.
     """
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -142,7 +169,7 @@ def assign_doc_ids(df: DataFrame, spark: SparkSession, base: int = 0):
     total = acc - base
 
     cols = [f.name for f in df.schema.fields]
-    result = ranged.select(*cols, _doc_id_col(offsets))
+    result = _with_doc_ids(spark, ranged, offsets, cols)
     return result, ranged, total  # caller unpersists `ranged`
 
 

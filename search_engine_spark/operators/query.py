@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from ..functions.analyzer import analyze_text
 from ..functions.codec import decode_postings
+from .. import schemas
 from ..functions.snippet import make_snippet
 from .index_build import K1, B
 
@@ -76,7 +77,12 @@ class SearchEngine:
         self.avgdl = float(corpus["avgdl"]) if corpus["avgdl"] else 1.0
         self.max_tf_sum = float(corpus["max_tf_sum"] or 1.0)
         self.term_stats = spark.read.parquet(f"{index_dir}/term_stats")
-        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        try:
+            self.postings = spark.read.parquet(f"{index_dir}/postings")
+        except Exception:
+            # a valid index over an EMPTY corpus has zero parts and thus no
+            # postings directory at all — queries must return empty, not die
+            self.postings = spark.createDataFrame([], schema=schemas.POSTINGS)
         self.documents = spark.read.parquet(f"{index_dir}/documents")
 
     # ------------------------------------------------------------------

@@ -104,3 +104,36 @@ def test_kill_and_resume_identical(spark, transcripts_df, oracle_idx, tmp_path):
     got = _decoded_postings(spark, out)
     exp = {t: sorted(pl) for t, pl in oracle_idx.postings.items()}
     assert got == exp
+
+
+def test_empty_corpus_build_and_search(spark, tmp_path):
+    """Zero indexable docs: build completes with empty tables and queries
+    return zero rows cleanly."""
+    from search_engine_spark import schemas
+    from search_engine_spark.operators.query import SearchEngine
+
+    empty = spark.createDataFrame([], schema=schemas.TRANSCRIPTS)
+    out = str(tmp_path / "idx_empty")
+    res = build_index(spark, empty, out, n_parts=2, resume=False)
+    assert res.n_docs == 0
+    assert res.postings_blocks == 0
+    eng = SearchEngine(spark, out)
+    assert eng.search_ids("anything", k=5).count() == 0
+
+
+def test_broadcast_offsets_path_identical(spark, transcripts_df, tmp_path,
+                                          monkeypatch):
+    """Forcing the large-partition-count code path (broadcast-joined
+    offsets instead of a literal map) must yield identical doc_ids."""
+    from search_engine_spark.operators import index_build as IB
+
+    a = str(tmp_path / "idx_map")
+    build_index(spark, transcripts_df, a, n_parts=2, resume=False)
+    monkeypatch.setattr(IB, "OFFSET_MAP_LITERAL_CAP", 0)
+    b = str(tmp_path / "idx_bcast")
+    build_index(spark, transcripts_df, b, n_parts=2, resume=False)
+    da = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+          for r in spark.read.parquet(f"{a}/documents").collect()}
+    db = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+          for r in spark.read.parquet(f"{b}/documents").collect()}
+    assert da == db
