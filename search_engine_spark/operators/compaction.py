@@ -43,6 +43,7 @@ def compact_index(
     n_buckets: int | None = None,
     block_size: int = 128,
     salt_budget: int = 100_000,
+    part_concurrency: int = 2,
 ) -> dict:
     """Rewrite postings into ``n_parts`` balanced parts. Returns
     {"parts_before": int, "parts_after": int}."""
@@ -74,7 +75,8 @@ def compact_index(
     t0 = time.time()
     rows_per_part: dict[int, dict] = {}
     actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
-    for p in range(actual_parts):
+
+    def _compact_part(p: int) -> None:
         raw_p = raw.filter(F.col("part_id") == p)
         joined = raw_p.join(F.broadcast(term_stats.select("term", "df")), "term")
         n_salts = F.greatest(
@@ -111,6 +113,17 @@ def compact_index(
             "blocks": int(m["blocks"] or 0),
             "index_version": version,
         }
+
+    # parts are independent jobs writing disjoint dirs — run them
+    # concurrently like build_index does (the swap below stays atomic)
+    if part_concurrency > 1 and actual_parts > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=part_concurrency) as ex:
+            list(ex.map(_compact_part, range(actual_parts)))
+    else:
+        for p in range(actual_parts):
+            _compact_part(p)
 
     # swap: postings dir replaced wholesale, manifest part rows rewritten
     # (on a cluster this is an Iceberg REPLACE snapshot commit)
