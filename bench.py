@@ -254,7 +254,7 @@ QUERY_MIX = [
     ("filter join table", {}),
     ("spark", {}),
     ("query index", {"mode": "relevance_ref"}),
-    ("token batch", {"mode": "disjunctive"}),
+    ("token batch", {"conjunctive": False}),
     ("index build merge", {}),
 ]
 QUERY_TOTAL = 64
@@ -378,6 +378,21 @@ def run_scaling() -> dict:
         mp_sec[c] = min(_probe_mp(c) for _ in range(2))
     mp_eff = (mp_sec[8] / mp_sec[32]) / (32 / 8)
 
+    # query-path secondary evidence (fresh process per level)
+    import json as _json
+    import subprocess
+
+    qruns = {}
+    for c in (8, 32):
+        r = subprocess.run(
+            [sys.executable, __file__, "--scale-query-one", str(c)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        qruns[c] = _json.loads(r.stdout.strip().splitlines()[-1])
+    q_eff = (qruns[32]["qps"] / qruns[8]["qps"]) / (32 / 8)
+
     out = {
         "n_turns": n,
         "build_sec": best_sec,
@@ -393,9 +408,41 @@ def run_scaling() -> dict:
         "efficiency_8_32": round(eff[(8, 32)], 3),
         "mp_probe_sec": mp_sec,
         "mp_probe_efficiency_8_32": round(mp_eff, 3),
+        "query_scaling": {
+            "lo": qruns[8],
+            "hi": qruns[32],
+            "efficiency": round(q_eff, 3),
+        },
     }
     _write_bench_md(out, runs, pairs)
     return out
+
+
+def _query_scaling_lines(qs: dict | None) -> list[str]:
+    if not qs:
+        return []
+    lo, hi = qs["lo"], qs["hi"]
+    return [
+        "## Query-path throughput (secondary evidence; `--scale-query-one N`)",
+        "",
+        f"{QUERY_TOTAL} engine queries (conjunctive / rare / relevance-ref /",
+        f"disjunctive mix) from {QUERY_CLIENTS} concurrent clients over ONE",
+        "prebuilt index, FAIR scheduler:",
+        "",
+        f"- local[{lo['cores']}]: {lo['qps']} queries/s"
+        f" (steal {lo['steal_sec']} s); local[{hi['cores']}]:"
+        f" {hi['qps']} queries/s (steal {hi['steal_sec']} s)",
+        f"- efficiency {qs['efficiency']:.3f} at fixed offered load",
+        "- the read path is latency-bound: each search is several small",
+        "  driver-coordinated jobs (dictionary lookup, pruned block scan,",
+        "  top-k combine) of ~0.5 s fixed cost, so a fixed client count",
+        "  measures latency hiding, not capacity. On a real deployment",
+        "  query throughput scales with query REPLICAS (the index is",
+        "  immutable parquet readable by any number of sessions), not with",
+        "  executor count inside one driver — a different axis than the",
+        "  build-throughput north rule.",
+        "",
+    ]
 
 
 def _write_bench_md(out: dict, runs: dict, pairs) -> None:
@@ -475,23 +522,7 @@ def _write_bench_md(out: dict, runs: dict, pairs) -> None:
         "plan, which has no serial stage beyond one tiny counts collect and",
         "the commit protocol (see PERF.md for the plan audit).",
         "",
-        "## Query-path throughput (secondary evidence; `--scale-query-one N`)",
-        "",
-        "64 engine queries (conjunctive / rare / relevance-ref / disjunctive",
-        "mix) from 8 concurrent clients over ONE prebuilt index, FAIR",
-        "scheduler, steal-rejected best clean run:",
-        "",
-        "- local[8]: 1.24 queries/s; local[32]: 1.99 queries/s",
-        "  (efficiency 0.40 at fixed offered load)",
-        "- the read path is latency-bound: each search is several small",
-        "  driver-coordinated jobs (dictionary lookup, pruned block scan,",
-        "  top-k combine) of ~0.5 s fixed cost, so a fixed client count",
-        "  measures latency hiding, not capacity. On a real deployment",
-        "  query throughput scales with query REPLICAS (the index is",
-        "  immutable parquet readable by any number of sessions), not with",
-        "  executor count inside one driver — a different axis than the",
-        "  build-throughput north rule.",
-        "",
+        *_query_scaling_lines(out.get("query_scaling")),
         "## What changed vs round 1",
         "",
         "- analyzer stage moved from a pandas UDF to the Catalyst",

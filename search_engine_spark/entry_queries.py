@@ -42,7 +42,7 @@ from .functions.analyzer import (
     tokens_cte_sql,
     terms_col,
 )
-from .operators.index_build import B, K1, build_index
+from .operators.index_build import B, BLANK_CLASS, K1, build_index
 from .operators.query import SearchEngine
 
 # ---------------------------------------------------------------------------
@@ -89,7 +89,7 @@ dl AS (
     SELECT d.doc_id, COALESCE(t.dl, 0) AS dl
     FROM documents d
     LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)
-    WHERE d.text IS NOT NULL AND regexp_replace(d.text, '\\s', '', 'g') <> ''
+    WHERE d.text IS NOT NULL AND regexp_replace(d.text, '{BLANK_CLASS}', '', 'g') <> ''
 ),
 stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
 dft AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
@@ -187,7 +187,7 @@ def _clean_pred():
     """The P1 hygiene predicate (mirrors index_build.clean_transcripts).
     Built lazily — Column construction needs an active session."""
     return F.col("text").isNotNull() & (
-        F.regexp_replace(F.col("text"), r"\s", "") != ""
+        F.regexp_replace(F.col("text"), BLANK_CLASS, "") != ""
     )
 
 
@@ -328,16 +328,16 @@ def q_clean_docs(spark, sf_dir):
         _docs(spark, sf_dir)
         .filter(
             F.col("text").isNotNull()
-            & (F.regexp_replace(F.col("text"), r"\s", "") != "")
+            & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
         )
         .select("doc_id", "lang", "source", "n_chars")
     )
 
 
-SQL_CLEAN_DOCS = """
+SQL_CLEAN_DOCS = f"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE text IS NOT NULL AND regexp_replace(text, '\\s', '', 'g') <> ''
+WHERE text IS NOT NULL AND regexp_replace(text, '{BLANK_CLASS}', '', 'g') <> ''
 """
 
 
@@ -1226,6 +1226,14 @@ def q_dedup_components(spark, sf_dir):
         labels = merged
         if changed == 0:
             break
+    else:
+        # 'no silent caps': a truncated propagation would silently split
+        # components the oracle's true transitive closure merges
+        edges.unpersist()
+        raise RuntimeError(
+            "dedup_components: min-label propagation did not converge in "
+            "50 rounds (component diameter exceeds the bound)"
+        )
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("component"))
 
@@ -1801,7 +1809,7 @@ WITH {_base_ctes()},
 ids AS (
     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS new_id
     FROM documents
-    WHERE text IS NOT NULL AND regexp_replace(text, '\\s', '', 'g') <> ''
+    WHERE text IS NOT NULL AND regexp_replace(text, '{BLANK_CLASS}', '', 'g') <> ''
 ),
 n AS (SELECT COUNT(*) AS n_docs FROM ids)
 SELECT CAST(FLOOR(ids.new_id / CAST(CEIL(n.n_docs / 4.0) AS BIGINT)) AS INTEGER)

@@ -89,15 +89,21 @@ def conform_transcripts(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# P1 blank test: one EXPLICIT whitespace class everywhere — Java regex \s
+# (Spark) includes \x0B, RE2 \s (DuckDB) does not, and Python str.strip()
+# adds unicode spaces; the oracle gate hash-compares results across all
+# three engines, so each must apply this identical class.
+BLANK_CLASS = r"[ \t\n\r\f\x0B]"
+
+
 def clean_transcripts(transcripts: DataFrame) -> DataFrame:
     """P1 hygiene: only non-blank turns are indexed (EntitySaver.java:51)."""
     transcripts = conform_transcripts(transcripts)
     # NB: regexp-based blank test, not trim() — Spark trim strips only
-    # ASCII space while the contract (and the pandas oracle) treats any
-    # whitespace-only text as blank.
+    # ASCII space while the contract treats whitespace-only text as blank.
     return transcripts.filter(
         F.col("text").isNotNull()
-        & (F.regexp_replace(F.col("text"), r"\s", "") != "")
+        & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
     )
 
 
@@ -349,7 +355,7 @@ def build_index(
     transcripts: DataFrame,
     out_dir: str,
     *,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     block_size: int = 128,
     salt_budget: int = 100_000,
     n_parts: int = 4,
@@ -358,7 +364,11 @@ def build_index(
     fail_after_parts: int | None = None,  # test hook: simulate a killed job
     part_concurrency: int = 2,  # concurrent part jobs (Spark schedules both)
 ) -> IndexBuildResult:
-    """Full index build with per-part checkpoint/resume."""
+    """Full index build with per-part checkpoint/resume. ``n_buckets``
+    defaults to 16 for fresh builds; a RESUMED build adopts the value
+    persisted in corpus_stats (remaining parts must land in the same
+    bucket->directory mapping as the committed ones) and refuses an
+    explicit caller mismatch."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest = _read_manifest(out_dir) if resume else {}
@@ -372,6 +382,29 @@ def build_index(
     stats_path = str(out / "term_stats")
     corpus_path = str(out / "corpus_stats")
     postings_path = str(out / "postings")
+
+    if not resume:
+        # per-part postings writes only overwrite their own part_id dir; a
+        # smaller rebuild would otherwise leave stale part dirs that the
+        # postings reader silently unions in
+        import shutil as _shutil
+
+        _shutil.rmtree(postings_path, ignore_errors=True)
+    if manifest.get("stage_docs", {}).get("status") == "DONE" and Path(
+        corpus_path
+    ).exists():
+        persisted = (
+            spark.read.parquet(corpus_path).collect()[0].asDict().get("n_buckets")
+        )
+        if persisted is not None:
+            if n_buckets is not None and int(n_buckets) != int(persisted):
+                raise ValueError(
+                    f"index at {out_dir} was built with n_buckets="
+                    f"{int(persisted)}, caller requested {n_buckets}"
+                )
+            n_buckets = int(persisted)
+    if n_buckets is None:
+        n_buckets = 16
 
     # ---------------- Stage A+B: documents, staging, stats ------------------
     # One materializing pass (shuffle+sort -> cache of the RAW text, counted
@@ -467,11 +500,19 @@ def build_index(
         from concurrent.futures import ThreadPoolExecutor
 
         ex = ThreadPoolExecutor(max_workers=3)
-        f_docs = ex.submit(_write_docs_corpus)
-        f_stats = ex.submit(_materialize_stats)
-        f_stats.result()
-        f_staging = ex.submit(_write_staging)
-        f_docs.result()
+        try:
+            f_docs = ex.submit(_write_docs_corpus)
+            f_stats = ex.submit(_materialize_stats)
+            f_stats.result()
+            f_staging = ex.submit(_write_staging)
+            f_docs.result()
+        except BaseException:
+            # a failed stats/docs job must not leak the pinned caches or
+            # the in-flight executor
+            ex.shutdown(wait=True)
+            cached.unpersist()
+            exploded.unpersist()
+            raise
 
         def _finalize_stage_a() -> None:
             # stage rows are the stage-A commit markers: written only after
@@ -479,7 +520,10 @@ def build_index(
             # durable. Part rows may land earlier — safe, because doc_ids
             # are deterministic: a resume that redoes stage A regenerates
             # identical ids, so already-DONE parts stay valid.
-            f_staging.result()
+            try:
+                f_staging.result()
+            finally:
+                ex.shutdown(wait=True)
             now = time.time()
             _write_manifest_row(
                 out_dir,
@@ -510,7 +554,6 @@ def build_index(
                     "n_terms": int(stats_ob.get["n_terms"] or 0),
                 },
             )
-            ex.shutdown(wait=True)
 
         m = corpus_ob.get
         fresh = {
@@ -660,9 +703,13 @@ def build_index(
         # part job dies (matches pre-overlap semantics: stage A commits
         # independently of stage C outcomes)
         if fresh is not None:
-            fresh["finalize"]()
-            fresh["cached"].unpersist()
-            fresh["exploded"].unpersist()
+            try:
+                fresh["finalize"]()
+            finally:
+                # unpersist even when the staging join raises (a finalize
+                # failure must not pin the caches for the session lifetime)
+                fresh["cached"].unpersist()
+                fresh["exploded"].unpersist()
 
     manifest = _read_manifest(out_dir)
     total_blocks = sum(

@@ -33,6 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -79,9 +80,14 @@ class SearchEngine:
         self.term_stats = spark.read.parquet(f"{index_dir}/term_stats")
         try:
             self.postings = spark.read.parquet(f"{index_dir}/postings")
-        except Exception:
+        except AnalysisException as ex:
             # a valid index over an EMPTY corpus has zero parts and thus no
-            # postings directory at all — queries must return empty, not die
+            # postings directory at all — queries must return empty, not
+            # die. Anything but the missing-path case is a REAL error
+            # (corrupt footer, permissions) and must propagate, never be
+            # silently read as "no matches".
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
             self.postings = spark.createDataFrame([], schema=schemas.POSTINGS)
         self.documents = spark.read.parquet(f"{index_dir}/documents")
 

@@ -41,7 +41,11 @@ class OracleIndex:
 
 def build_oracle_index(transcripts: pd.DataFrame) -> OracleIndex:
     t = transcripts.copy()
-    t["_blank"] = t["text"].isna() | (t["text"].astype(str).str.strip() == "")
+    # explicit class — python str.strip() would also strip unicode spaces
+    # that the Spark/DuckDB predicates (index_build.BLANK_CLASS) keep
+    t["_blank"] = t["text"].isna() | (
+        t["text"].astype(str).str.strip(" \t\n\r\f\x0b") == ""
+    )
     kept = t[~t["_blank"]].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     kept["doc_id"] = kept.index.astype("int64")
 
