@@ -137,3 +137,54 @@ def test_broadcast_offsets_path_identical(spark, transcripts_df, tmp_path,
     db = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
           for r in spark.read.parquet(f"{b}/documents").collect()}
     assert da == db
+
+
+def test_blank_predicate_cross_engine_parity(spark):
+    """The P1 blank test must agree across Spark (Java regex), DuckDB
+    (RE2), and the pandas oracle — \\s differs between those engines on
+    \\x0B, which is exactly why BLANK_CLASS is an explicit class."""
+    import duckdb
+
+    from search_engine_spark.operators.index_build import (
+        BLANK_CLASS, clean_transcripts,
+    )
+
+    texts = [
+        "real text", " ", "\t\n", "\x0b", " \x0b ", "\f", "a\x0bb",
+        "\u00a0", None, "",  # non-breaking space: NOT blank
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(texts),
+            "turn_idx": range(len(texts)),
+            "role": ["user"] * len(texts),
+            "text": texts,
+            "tool": [None] * len(texts),
+            "ts": [pd.Timestamp("2026-01-01").floor("us")] * len(texts),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    kept_spark = sorted(
+        r["turn_idx"]
+        for r in clean_transcripts(spark.createDataFrame(pdf)).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    kept_duck = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT turn_idx FROM t WHERE text IS NOT NULL AND "
+            f"regexp_replace(text, '{BLANK_CLASS}', '', 'g') <> ''"
+        ).fetchall()
+    )
+    kept_pandas = sorted(
+        pdf[
+            pdf["text"].notna()
+            & (pdf["text"].astype(str).str.strip(" \t\n\r\f\x0b") != "")
+        ]["turn_idx"]
+    )
+    # NB: " " (nbsp) is NON-blank under the explicit class — all
+    # three engines must agree on that too
+    assert kept_spark == kept_duck == kept_pandas
+    assert 7 in kept_spark  # nbsp kept
+    assert 3 not in kept_spark  # \x0B-only dropped
