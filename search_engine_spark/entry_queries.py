@@ -162,6 +162,44 @@ LIMIT {k}{off}
 """
 
 
+def _maxdf_topk_sql(terms, cutoff: int, mode: str = "bm25",
+                    k: int = TOPK) -> str:
+    """P3 oracle that derives the surviving (df < cutoff) term set AND its
+    df-asc accumulation order from the same dft CTE the scores use — no
+    hardcoded survivor list, so it tracks the engine's pruning at any
+    scale factor (ADVICE r2: the sf0.01-hardcoded list silently diverged
+    elsewhere). list(s ORDER BY df, term) + list_reduce reproduces the
+    engine's left-to-right df-asc COALESCE float order exactly: a term
+    missing from a doc contributes literally +0.0 in the engine, which is
+    an IEEE no-op on the positive partials, so folding only the present
+    terms in the same order is bit-identical."""
+    return f"""
+WITH {_base_ctes()},
+partials AS (
+    SELECT tf.doc_id, tf.term, dft.df, {_score_sql(mode)} AS s
+    FROM tf
+    JOIN dft USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.term IN ({_in_list(terms)}) AND dft.df < {cutoff}
+),
+n_surv AS (
+    SELECT COUNT(*) AS n FROM dft
+    WHERE term IN ({_in_list(terms)}) AND df < {cutoff}
+),
+agg AS (
+    SELECT doc_id, list(s ORDER BY df ASC, term ASC) AS ss,
+           COUNT(*) AS n_present
+    FROM partials GROUP BY doc_id
+)
+SELECT doc_id, list_reduce(ss, (a, b) -> a + b) AS score
+FROM agg CROSS JOIN n_surv
+WHERE n_present = n_surv.n
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Shared Spark fragments
 # ---------------------------------------------------------------------------
@@ -275,6 +313,11 @@ def _topk_spark(
 # ---------------------------------------------------------------------------
 def _index_dir(sf_dir: str) -> str:
     key = hashlib.md5(f"{BUILD_TAG}:{sf_dir}".encode()).hexdigest()[:10]
+    return f"/tmp/ses_index_{key}"
+
+
+def _incr_index_dir(sf_dir: str) -> str:
+    key = hashlib.md5(f"{BUILD_TAG}:incr:{sf_dir}".encode()).hexdigest()[:10]
     return f"/tmp/ses_index_{key}"
 
 
@@ -516,6 +559,31 @@ def q_engine_paged_topk(spark, sf_dir):
     offset+1..offset+k of the same deterministic ordering."""
     return _engine_topk(
         spark, sf_dir, QUERY_TERMS, "bm25", k=5, offset=PAGE_OFFSET
+    )
+
+
+def q_engine_incremental_stats(spark, sf_dir):
+    """S3/S4/J4 — the reference's single-page re-index merge
+    (IndexationServiceImpl.java:119-131 + EntitySaver.java:35-54) under the
+    driver gate, not just pytest: build a BASE index over 80% of the corpus
+    (doc_id % 5 != 0), merge the remaining 20% via incremental_update
+    (hygiene → anti-join → new part → stats recompute → manifest commit),
+    and return the FINAL index's term dictionary. Oracle = the plain
+    term_stats SQL over the whole corpus — green iff base-build + merge is
+    exactly equivalent to indexing everything at once (drift-free df,
+    SURVEY.md §7.5). Replay-safe for repeated driver runs: the base build
+    resumes off its manifest and the merge batch anti-joins to a no-op."""
+    from .operators.incremental import incremental_update
+
+    out = _incr_index_dir(sf_dir)
+    docs = _docs(spark, sf_dir)
+    base = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 != 0))
+    inc = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 == 0))
+    build_index(spark, base, out, resume=True)
+    incremental_update(spark, inc, out)
+    return (
+        spark.read.parquet(f"{out}/term_stats")
+        .select("term", "df", "cf")
     )
 
 
@@ -1132,7 +1200,13 @@ def q_embed_quantize(spark, sf_dir):
     products stay SIMD-able). scale = max|x|/127; q_i = floor(x_i/scale
     + 0.5) (explicit half-up, identical expression in Spark and the SQL
     oracle — never bare round(), whose tie rule differs by engine); plus
-    the max absolute reconstruction error as a quality audit column."""
+    the max absolute reconstruction error as a quality audit column.
+
+    The quantized vector ships as a canonical comma-joined STRING column
+    (`qvec`), not array<int>: the driver's oracle canonicalizer sorts
+    result rows with pandas and a list-typed cell is unhashable there
+    (round-2 gate failure). Same serialization on both sides —
+    array_join in Spark, array_to_string in DuckDB."""
     e = _emb(spark, sf_dir)
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x)))
@@ -1148,7 +1222,7 @@ def q_embed_quantize(spark, sf_dir):
     return e.select(
         "vec_id",
         scale.alias("scale"),
-        qv.alias("qvec"),
+        F.array_join(qv.cast("array<string>"), ",").alias("qvec"),
         err.alias("max_err"),
     )
 
@@ -1157,8 +1231,9 @@ SQL_EMBED_QUANTIZE = """
 SELECT vec_id,
   greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12)
     / 127.0::DOUBLE AS scale,
-  list_transform(embedding::DOUBLE[],
-                 x -> CAST(floor(x / scale + 0.5::DOUBLE) AS INTEGER)) AS qvec,
+  array_to_string(list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x / scale + 0.5::DOUBLE) AS INTEGER)),
+                 ',') AS qvec,
   list_max(list_transform(list_zip(
       list_transform(embedding::DOUBLE[],
                      x -> CAST(floor(x / scale + 0.5::DOUBLE) AS INTEGER)),
@@ -1692,6 +1767,49 @@ FROM events
 """
 
 
+def q_streaming_tumbling(spark, sf_dir):
+    """REAL Structured Streaming under the driver gate (not the batch
+    analog): stream_windowed_counts runs readStream → watermark(2h) →
+    1-hour tumbling windows → append-mode parquet sink with
+    trigger(availableNow=True) over the finite events table, then the
+    sink is read back. Append mode emits exactly the windows the final
+    watermark (max ts − 2h) closed, once each; the oracle is the
+    events_tumbling SQL restricted to those same closed windows.
+    approx_users is excluded (approx_count_distinct has no cross-engine
+    oracle)."""
+    import tempfile
+
+    from .streaming.windows import stream_windowed_counts
+
+    base = tempfile.mkdtemp(prefix="ses_stream_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(src)
+    q = stream_windowed_counts(
+        spark, src, ckpt, out, window="1 hour", late="2 hours"
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        F.col("window_start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
+SQL_STREAMING_TUMBLING = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -1934,6 +2052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_disjunctive": q_engine_disjunctive,
     "engine_maxdf_topk": q_engine_maxdf_topk,
     "engine_paged_topk": q_engine_paged_topk,
+    "engine_incremental_stats": q_engine_incremental_stats,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_order_revenue": q_tpch_order_revenue,
     "tpch_cust_nation_region": q_tpch_cust_nation_region,
@@ -1961,6 +2080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_json": q_events_json,
+    "streaming_tumbling": q_streaming_tumbling,
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
     "media_features": q_media_features,
@@ -1993,11 +2113,13 @@ ORACLES: dict[str, str] = {
     "engine_disjunctive": _topk_sql(
         list(RARE_QUERY_TERMS), "bm25", conjunctive=False
     ),
-    # P3: 'customer' (df=394 >= 390) pruned from scoring at sf0.01
-    "engine_maxdf_topk": _topk_sql(["spark", "window"], "bm25"),
+    # P3: survivors + accumulation order derived from dft, not hardcoded
+    "engine_maxdf_topk": _maxdf_topk_sql(QUERY_TERMS, MAX_DF_CUTOFF),
     "engine_paged_topk": _topk_sql(
         _oracle_terms_sorted(), "bm25", k=5, offset=PAGE_OFFSET
     ),
+    # base-build + incremental merge must equal indexing everything at once
+    "engine_incremental_stats": SQL_TERM_STATS,
     "tpch_pricing_summary": SQL_TPCH_PRICING,
     "tpch_order_revenue": SQL_TPCH_ORDER_REVENUE,
     "tpch_cust_nation_region": SQL_TPCH_CUST_NATION_REGION,
@@ -2025,6 +2147,8 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_json": SQL_EVENTS_JSON,
+    # closed tumbling windows from the REAL streaming job == batch SQL
+    "streaming_tumbling": SQL_STREAMING_TUMBLING,
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_audio_stats": SQL_MEDIA_AUDIO_STATS,

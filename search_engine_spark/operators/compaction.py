@@ -125,13 +125,32 @@ def compact_index(
         for p in range(actual_parts):
             _compact_part(p)
 
-    # swap: postings dir replaced wholesale, manifest part rows rewritten
-    # (on a cluster this is an Iceberg REPLACE snapshot commit)
+    # staging must land in the SAME part layout the new manifest will
+    # describe: a leftover old-layout staging dir with part ids outside the
+    # new manifest range reads as uncommitted orphans to
+    # _recover_uncommitted (incremental.py), which would then chase
+    # postings parts compaction just deleted. Rewrite it from the already
+    # part_id-recomputed `raw` before any swap.
+    new_staging = f"{out_dir}/_staging_compacting"
+    shutil.rmtree(new_staging, ignore_errors=True)
+    raw.write.mode("overwrite").partitionBy("part_id").parquet(new_staging)
+
+    # swap: postings dir replaced wholesale, then staging, then manifest
+    # part rows rewritten (on a cluster this is one Iceberg REPLACE
+    # snapshot commit; locally the rename gaps are the crash windows and
+    # SearchEngine fails loudly on a populated index with no postings dir)
     old = f"{out_dir}/_postings_old"
     shutil.rmtree(old, ignore_errors=True)
-    Path(postings_path).rename(old)
-    Path(new_postings).rename(postings_path)
+    if Path(postings_path).exists():  # empty-corpus index has no postings
+        Path(postings_path).rename(old)
+    if Path(new_postings).exists():
+        Path(new_postings).rename(postings_path)
     shutil.rmtree(old, ignore_errors=True)
+    old_staging = f"{out_dir}/_staging_old"
+    shutil.rmtree(old_staging, ignore_errors=True)
+    Path(staging_path).rename(old_staging)
+    Path(new_staging).rename(staging_path)
+    shutil.rmtree(old_staging, ignore_errors=True)
     for name in list(_read_manifest(out_dir)):
         if name.startswith("part_"):
             (_manifest_path(out_dir) / f"{name}.json").unlink()

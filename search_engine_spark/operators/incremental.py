@@ -57,8 +57,8 @@ from .index_build import (
 )
 
 
-def _staging_part_ids(out_dir: str) -> set[int]:
-    base = Path(out_dir) / "_staging_postings_raw"
+def _part_ids_under(out_dir: str, subdir: str) -> set[int]:
+    base = Path(out_dir) / subdir
     out: set[int] = set()
     if base.exists():
         for p in base.glob("part_id=*"):
@@ -67,6 +67,10 @@ def _staging_part_ids(out_dir: str) -> set[int]:
             except ValueError:
                 continue
     return out
+
+
+def _staging_part_ids(out_dir: str) -> set[int]:
+    return _part_ids_under(out_dir, "_staging_postings_raw")
 
 
 def resolve_n_buckets(spark: SparkSession, out_dir: str,
@@ -107,6 +111,8 @@ def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
     # atomic-ish swap via overwrite (Iceberg snapshot commit on clusters)
     spark.read.parquet(f"{stats_path}_new").write.mode("overwrite").parquet(stats_path)
     spark.read.parquet(f"{corpus_path}_new").write.mode("overwrite").parquet(corpus_path)
+    shutil.rmtree(f"{stats_path}_new", ignore_errors=True)
+    shutil.rmtree(f"{corpus_path}_new", ignore_errors=True)
     row = spark.read.parquet(corpus_path).collect()[0]
     return int(row["n_docs"]), float(row["avgdl"]) if row["avgdl"] else 1.0
 
@@ -129,6 +135,7 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
         .agg(F.max("doc_id")).collect()[0][0]
     )
     docs_max = -1 if docs_max is None else int(docs_max)
+    finish: list[int] = []
     for p in orphans:
         staging_part = f"{out_dir}/_staging_postings_raw/part_id={p}"
         postings_part = f"{out_dir}/postings/part_id={p}"
@@ -138,44 +145,49 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
         )
         if lo is not None and docs_max >= int(lo):
             # (b) the documents append landed -> staging+postings for this
-            # part are complete; finish the commit
-            n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets)
-            m = (
-                spark.read.parquet(postings_part)
-                .agg(
-                    F.sum("n").alias("postings_written"),
-                    F.approx_count_distinct("term").alias("terms_merged"),
-                    F.sum(
-                        F.length("doc_ids") + F.length("tfs") + F.length("dls")
-                    ).alias("bytes_compressed"),
-                    F.count(F.lit(1)).alias("blocks"),
-                )
-                .collect()[0]
-            )
-            now = time.time()
-            _write_manifest_row(
-                out_dir,
-                f"part_{p:05d}",
-                {
-                    "partition_id": p,
-                    "status": "DONE",
-                    "started_ts": now,
-                    "finished_ts": now,
-                    "postings_written": int(m["postings_written"] or 0),
-                    "terms_merged": int(m["terms_merged"] or 0),
-                    "bytes_compressed": int(m["bytes_compressed"] or 0),
-                    "blocks": int(m["blocks"] or 0),
-                    "index_version": version,
-                    "recovered": True,
-                },
-            )
-            stage = dict(manifest["stage_docs"])
-            stage["n_docs"] = n_docs
-            _write_manifest_row(out_dir, "stage_docs", stage)
+            # part are complete; finish the commit below
+            finish.append(p)
         else:
             # (a) crash before the documents append -> uncommitted garbage
             shutil.rmtree(staging_part, ignore_errors=True)
             shutil.rmtree(postings_part, ignore_errors=True)
+    if not finish:
+        return _read_manifest(out_dir)
+    for p in finish:
+        m = (
+            spark.read.parquet(f"{out_dir}/postings/part_id={p}")
+            .agg(
+                F.sum("n").alias("postings_written"),
+                F.approx_count_distinct("term").alias("terms_merged"),
+                F.sum(
+                    F.length("doc_ids") + F.length("tfs") + F.length("dls")
+                ).alias("bytes_compressed"),
+                F.count(F.lit(1)).alias("blocks"),
+            )
+            .collect()[0]
+        )
+        now = time.time()
+        _write_manifest_row(
+            out_dir,
+            f"part_{p:05d}",
+            {
+                "partition_id": p,
+                "status": "DONE",
+                "started_ts": now,
+                "finished_ts": now,
+                "postings_written": int(m["postings_written"] or 0),
+                "terms_merged": int(m["terms_merged"] or 0),
+                "bytes_compressed": int(m["bytes_compressed"] or 0),
+                "blocks": int(m["blocks"] or 0),
+                "index_version": version,
+                "recovered": True,
+            },
+        )
+    # the full staging+documents aggregation runs ONCE, not per orphan
+    n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets)
+    stage = dict(manifest["stage_docs"])
+    stage["n_docs"] = n_docs
+    _write_manifest_row(out_dir, "stage_docs", stage)
     return _read_manifest(out_dir)
 
 
@@ -242,12 +254,14 @@ def incremental_update(
     # each batch becomes ONE new part directory — a fresh overwrite of its
     # own path (atomic locally; an Iceberg snapshot commit on clusters),
     # never an append into existing part dirs. Number it past every part
-    # ever seen in manifest OR staging so a half-committed part id is never
-    # reused.
+    # ever seen in manifest, staging, OR the postings dir itself, so a
+    # half-committed part id (or a part a crashed compaction swapped in
+    # before its manifest rewrite) is never reused/clobbered.
     part_new = 1 + max(
         [int(r["partition_id"]) for r in manifest.values()
          if int(r.get("partition_id", -1)) >= 0]
-        + list(_staging_part_ids(out_dir)),
+        + list(_staging_part_ids(out_dir))
+        + list(_part_ids_under(out_dir, "postings")),
         default=-1,
     )
     exploded = (

@@ -34,7 +34,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -85,9 +85,20 @@ class SearchEngine:
             # postings directory at all — queries must return empty, not
             # die. Anything but the missing-path case is a REAL error
             # (corrupt footer, permissions) and must propagate, never be
-            # silently read as "no matches".
+            # silently read as "no matches". The empty fallback is ONLY
+            # legal when the corpus is actually empty: a populated index
+            # with no postings dir means a crashed compaction swap
+            # (postings renamed away, replacement not renamed in) — that
+            # must stay loud, never become silently-zero results.
             if "PATH_NOT_FOUND" not in str(ex):
                 raise
+            if self.n_docs > 0:
+                raise RuntimeError(
+                    f"index at {index_dir} has n_docs={self.n_docs} but no "
+                    "postings directory — likely a crashed compact_index "
+                    "swap; restore _postings_old/_postings_compacting or "
+                    "rebuild"
+                ) from ex
             self.postings = spark.createDataFrame([], schema=schemas.POSTINGS)
         self.documents = spark.read.parquet(f"{index_dir}/documents")
 
@@ -294,9 +305,16 @@ class SearchEngine:
             .limit(offset + k)
         )
         if offset:
-            rows = topk.collect()[offset:]
-            return self.spark.createDataFrame(
-                rows or [], schema="doc_id long, score double"
+            # distributed offset: row_number over the already-limited
+            # top-(offset+k) rows (TakeOrderedAndProject), then slice.
+            # The single-partition window touches at most offset+k rows —
+            # bounded — and the plan stays fused end-to-end (no
+            # collect/createDataFrame round-trip through the driver).
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            return (
+                topk.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > offset)
+                .drop("_rn")
             )
         return topk
 

@@ -84,6 +84,55 @@ def test_index_batch_and_compaction(spark, api, tmp_path_factory):
     assert before == after  # bit-identical scores across the rewrite
 
 
+def test_compact_fewer_parts_then_incremental(spark, tmp_path_factory):
+    """Compaction that REDUCES part count must leave staging in the new
+    part layout: a stale old-layout staging dir holds part ids above the
+    new manifest range, which _recover_uncommitted would treat as
+    uncommitted orphans pointing at postings parts compaction deleted —
+    every later incremental_update then dies. (ADVICE r2, high.)"""
+    idx = str(tmp_path_factory.mktemp("compactdown") / "idx")
+    a = EngineAPI(spark, idx)
+    pdf = make_transcripts(n_conversations=40, seed=11)
+    a.start_indexing(_sdf(spark, pdf), n_parts=4, resume=False)
+    a.wait(300)
+    for i in range(2):  # accumulate extra small parts, ids 4 and 5
+        extra = make_transcripts(n_conversations=6, seed=200 + i)
+        extra["conv_id"] = f"inc{i}-" + extra["conv_id"]
+        assert a.index_batch(_sdf(spark, extra))["result"]
+
+    res = compact_index(spark, idx, n_parts=2)
+    assert res["parts_before"] == 6 and res["parts_after"] == 2
+    from search_engine_spark.operators.incremental import _staging_part_ids
+
+    assert _staging_part_ids(idx) == {0, 1}  # staging follows the layout
+
+    eng = SearchEngine(spark, idx)
+    before = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in eng.search_ids("query index", k=30)
+        .join(eng.documents.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .collect()
+    }
+    # the round-2 bug: this next call crashed in recovery
+    extra = make_transcripts(n_conversations=5, seed=300)
+    extra["conv_id"] = "post-" + extra["conv_id"]
+    out = incremental_update(spark, _sdf(spark, extra), idx)
+    assert out["new_docs"] > 0 and out["new_parts"] == 1
+
+    eng2 = SearchEngine(spark, idx)
+    after = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in eng2.search_ids("query index", k=30)
+        .join(eng2.documents.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .collect()
+    }
+    # old docs keep their ranking; scores may shift only via the global
+    # stats (n_docs/avgdl) the new batch legitimately changes — so compare
+    # the doc SET survives and replaying the same batch is still a no-op
+    assert set(before) <= set(after) or len(after) == 30
+    assert incremental_update(spark, _sdf(spark, extra), idx)["new_docs"] == 0
+
+
 def test_index_batch_without_index_errors(spark, tmp_path):
     a = EngineAPI(spark, str(tmp_path / "noidx"))
     pdf = make_transcripts(n_conversations=3, seed=1)
