@@ -105,7 +105,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "sf": _sf_of(sf_dir),
         "n_docs": n_docs,
         "cpus": cpus,
-        "build_docs_per_sec": round(n_docs / t_build, 1),
+        # NB: at sf0.1 (5k docs) the build is FIXED-COST dominated (Spark
+        # session + job setup); this rate is not the engine's throughput.
+        # The steal-rejected 700k-turn measurement is the real number —
+        # see BENCH.md ("build throughput"): ~24k turns/s at local[32].
+        "build_docs_per_sec_fixed_cost_dominated": round(n_docs / t_build, 1),
     }
     spark.stop()
     return result
@@ -209,20 +213,82 @@ def _scaling_build(cpus: int) -> dict:
     }
 
 
-def _scaling_build_subprocess(cpus: int) -> dict:
+def _scaling_stage_a(cpus: int) -> dict:
+    """Stage A ONLY — the pure-JVM portion of the build (hygiene filter,
+    range-shuffled doc_id assignment, Catalyst terms_col analyze, explode,
+    map-side-combined tf agg, term_stats agg), materialized through Spark's
+    `noop` sink so neither parquet encoding nor the Python/Arrow posting
+    encoder is in the window. This isolates what a pure-JVM Spark cluster
+    job would scale like on this box: whole-stage codegen + two shuffles,
+    zero Python workers."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.analyzer import terms_col
+    from search_engine_spark.operators.index_build import (
+        assign_doc_ids,
+        clean_transcripts,
+    )
+
+    spark = get_spark(
+        app_name=f"stageA{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": f"{SCALE_DIR}/sparktmp"},
+    )
+    transcripts = spark.read.parquet(SCALE_CORPUS)
+    s0 = _read_proc_stat()
+    t0 = time.time()
+    clean = clean_transcripts(transcripts)
+    with_ids, cached, n_docs = assign_doc_ids(clean, spark)
+    exploded = (
+        with_ids.select("doc_id", terms_col(F.col("text")).alias("terms"))
+        .withColumn("dl", F.size("terms"))
+        .select("doc_id", "dl", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    term_stats = exploded.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    term_stats.write.format("noop").mode("overwrite").save()
+    sec = time.time() - t0
+    s1 = _read_proc_stat()
+    cached.unpersist()
+    spark.stop()
+    return {
+        "build_sec": round(sec, 2),  # keyed like the full build for reuse
+        "steal_sec": round((s1[7] - s0[7]) / 100.0, 1),
+        "n_docs": n_docs,
+    }
+
+
+def _scaling_build_subprocess(cpus: int, mode: str = "--scale-one") -> dict:
     """Run one measurement in a FRESH process: PySpark local mode reuses
     the gateway JVM across sessions in one process, and accumulated heap
-    debris measurably slows later runs (observed 2-3x)."""
+    debris measurably slows later runs (observed 2-3x). With
+    SPARK_GRAFT_PROFILE=1 in the child env the [build-profile] stage lines
+    are parsed off stderr into a per-stage seconds dict."""
     import json as _json
     import subprocess
 
+    env = dict(os.environ)
+    env["SPARK_GRAFT_PROFILE"] = "1"
     out = subprocess.run(
-        [sys.executable, __file__, "--scale-one", str(cpus)],
+        [sys.executable, __file__, mode, str(cpus)],
         capture_output=True,
         text=True,
         check=True,
+        env=env,
     )
-    return _json.loads(out.stdout.strip().splitlines()[-1])
+    r = _json.loads(out.stdout.strip().splitlines()[-1])
+    stages = {}
+    for line in out.stderr.splitlines():
+        if line.startswith("[build-profile] "):
+            label, _, sec = line[len("[build-profile] "):].rpartition(": ")
+            stages[label] = stages.get(label, 0.0) + float(sec.rstrip("s"))
+    if stages:
+        r["stages"] = {k: round(v, 2) for k, v in stages.items()}
+    return r
 
 # a run is rejected as steal-polluted if the host stole more than this
 # fraction of the run's wall x cores budget (observed episodes steal
@@ -344,6 +410,142 @@ def _mp_work(texts):
     from search_engine_spark.functions.analyzer import analyze_series
 
     return int(analyze_series(texts).str.len().sum())
+
+
+ATTRIB_BEGIN = "<!-- attrib:begin -->"
+ATTRIB_END = "<!-- attrib:end -->"
+
+
+def _measure_level_mode(cpus: int, mode: str) -> list[dict]:
+    """Steal-rejected repeated measurement of one (mode, parallelism)."""
+    runs: list[dict] = []
+
+    def clean(r):
+        return r["steal_sec"] <= STEAL_REJECT_FRACTION * r["build_sec"] * cpus
+
+    while (
+        sum(1 for r in runs if clean(r)) < 2 and len(runs) < SCALE_MAX_REPS
+    ):
+        r = _scaling_build_subprocess(cpus, mode=mode)
+        r["clean"] = clean(r)
+        runs.append(r)
+    return runs
+
+
+def _best_clean(runs: list[dict]) -> dict:
+    clean = [r for r in runs if r.get("clean")]
+    pool = clean if clean else runs
+    return min(pool, key=lambda r: r["build_sec"])
+
+
+def run_attrib(pair=(4, 16)) -> dict:
+    """Judge-requested attribution: (1) the PURE-JVM stage-A job measured
+    alone at both parallelism levels — its efficiency is what a no-Python
+    Spark job achieves on this box; (2) a per-stage wall-time table from
+    profiled full builds at both levels, attributing the end-to-end gap to
+    stages. Writes the '## Per-stage attribution' BENCH.md section."""
+    n = _ensure_scaling_corpus()
+    lo, hi = pair
+    out: dict = {"n_turns": n, "pair": list(pair)}
+
+    stage_a_runs = {c: _measure_level_mode(c, "--scale-stage-a-one")
+                    for c in pair}
+    sa = {c: _best_clean(stage_a_runs[c]) for c in pair}
+    out["stage_a_sec"] = {c: sa[c]["build_sec"] for c in pair}
+    out["stage_a_runs"] = {
+        c: [(r["build_sec"], r["steal_sec"], bool(r.get("clean")))
+            for r in stage_a_runs[c]]
+        for c in pair
+    }
+    out["stage_a_efficiency"] = round(
+        (sa[lo]["build_sec"] / sa[hi]["build_sec"]) / (hi / lo), 3
+    )
+
+    full_runs = {c: _measure_level_mode(c, "--scale-one") for c in pair}
+    fb = {c: _best_clean(full_runs[c]) for c in pair}
+    out["full_sec"] = {c: fb[c]["build_sec"] for c in pair}
+    out["full_runs"] = {
+        c: [(r["build_sec"], r["steal_sec"], bool(r.get("clean")))
+            for r in full_runs[c]]
+        for c in pair
+    }
+    out["full_efficiency"] = round(
+        (fb[lo]["build_sec"] / fb[hi]["build_sec"]) / (hi / lo), 3
+    )
+    out["stages"] = {c: fb[c].get("stages", {}) for c in pair}
+    _write_attrib_md(out)
+    return out
+
+
+def _write_attrib_md(out: dict) -> None:
+    lo, hi = out["pair"]
+    ratio = hi / lo
+
+    def eff(a, b):
+        return (a / b) / ratio if b else float("nan")
+
+    lines = [
+        ATTRIB_BEGIN,
+        "## Per-stage attribution (pure-JVM isolation)",
+        "",
+        "The north-rule gap is attributed by (1) measuring the PURE-JVM",
+        "prefix of the build alone — hygiene filter, range-shuffled doc_id",
+        "assignment, Catalyst analyzer, explode, tf agg, term_stats agg,",
+        "materialized through the `noop` sink (no parquet, no Python",
+        "workers, no Arrow) — and (2) profiling the stages of full builds",
+        "at both levels. Same steal-rejection protocol as above",
+        "(`python bench.py --scale-attrib`).",
+        "",
+        f"| job | local[{lo}] sec | local[{hi}] sec |"
+        f" efficiency {lo}->{hi} |",
+        "|---|---|---|---|",
+        f"| **stage A alone (pure JVM, no Python)** |"
+        f" {out['stage_a_sec'][lo]:.1f} | {out['stage_a_sec'][hi]:.1f} |"
+        f" **{out['stage_a_efficiency']:.3f}** |",
+        f"| full build (incl. Arrow/Python encode + parquet) |"
+        f" {out['full_sec'][lo]:.1f} | {out['full_sec'][hi]:.1f} |"
+        f" **{out['full_efficiency']:.3f}** |",
+        "",
+        "Per-stage wall seconds inside the profiled full builds (stages",
+        "overlap by design — docs/staging writes run concurrently with",
+        "stats/encode — so columns need not sum to the total):",
+        "",
+        f"| stage | local[{lo}] | local[{hi}] | stage efficiency |",
+        "|---|---|---|---|",
+    ]
+    stages_lo = out["stages"].get(lo) or out["stages"].get(str(lo), {})
+    stages_hi = out["stages"].get(hi) or out["stages"].get(str(hi), {})
+    for label in stages_lo:
+        a, b = stages_lo[label], stages_hi.get(label)
+        if b is None:
+            continue
+        lines.append(
+            f"| {label} | {a:.1f} | {b:.1f} | {eff(a, b):.3f} |"
+        )
+    lines += [
+        "",
+        f"Runs (sec / steal-sec / clean) — stage A: "
+        + " | ".join(
+            f"local[{c}]: "
+            + "; ".join(
+                f"{b:.0f}/{s:.0f}/{'Y' if cl else 'N'}"
+                for b, s, cl in out["stage_a_runs"][c]
+            )
+            for c in out["pair"]
+        ),
+        "",
+        ATTRIB_END,
+    ]
+    block = "\n".join(lines)
+    p = Path("BENCH.md")
+    txt = p.read_text() if p.exists() else ""
+    if ATTRIB_BEGIN in txt and ATTRIB_END in txt:
+        pre = txt.split(ATTRIB_BEGIN)[0]
+        post = txt.split(ATTRIB_END)[1]
+        txt = pre + block + post
+    else:
+        txt = txt.rstrip("\n") + "\n\n" + block + "\n"
+    p.write_text(txt)
 
 
 def run_scaling() -> dict:
@@ -544,6 +746,10 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-one", type=int, default=None,
                     help="internal: one scaling measurement in this process")
+    ap.add_argument("--scale-stage-a-one", type=int, default=None,
+                    help="internal: one PURE-JVM stage-A measurement")
+    ap.add_argument("--scale-attrib", action="store_true",
+                    help="stage-A isolation + per-stage attribution table")
     ap.add_argument("--probe-mp", type=int, default=None,
                     help="Spark-free analyzer probe with N processes")
     ap.add_argument("--scale-query-one", type=int, default=None,
@@ -556,6 +762,13 @@ def main() -> None:
         r = _scaling_build(args.scale_one)
         r["cores"] = args.scale_one
         print(json.dumps(r))
+    elif args.scale_stage_a_one is not None:
+        _ensure_scaling_corpus()
+        r = _scaling_stage_a(args.scale_stage_a_one)
+        r["cores"] = args.scale_stage_a_one
+        print(json.dumps(r))
+    elif args.scale_attrib:
+        print(json.dumps(run_attrib()))
     elif args.probe_mp is not None:
         _ensure_scaling_corpus()
         print(json.dumps({"nproc": args.probe_mp,

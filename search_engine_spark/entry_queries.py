@@ -61,7 +61,7 @@ ANN_PROBES = 1 + ANN_SIGN_DIMS  # query bucket + all Hamming-1 neighbors
 EMBED_BUCKET_CAP = 1024  # sign-bucket cap for the near-dup self-join
 TOPK = 10
 FP_MOD = 1_000_000_007
-BUILD_TAG = "v4"     # bump to invalidate cached /tmp indexes
+BUILD_TAG = "v5"     # bump to invalidate cached /tmp indexes (v5: analyzer a3)
 
 _WS = "[ \\t\\n\\r]+"  # explicit class: java regex \s and RE2 \s differ on \x0B
 
@@ -77,17 +77,19 @@ _CJK = f"{chr(0x4E00)}-{chr(0x9FFF)}"
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB; `documents` is a pre-registered view)
 # ---------------------------------------------------------------------------
-def _base_ctes() -> str:
+def _base_ctes(table: str = "documents") -> str:
     # dl/stats cover the HYGIENE-FILTERED corpus (same predicate as
     # clean_transcripts / q_clean_docs) so BM25 n_docs/avgdl agree with the
-    # real engine's corpus_stats even when the corpus contains blank docs
-    toks = tokens_cte_sql("documents")
+    # real engine's corpus_stats even when the corpus contains blank docs.
+    # ``table`` lets derived corpora (e.g. the skew-stress entry's sdocs
+    # CTE) reuse the whole analyzer/stats chain unchanged.
+    toks = tokens_cte_sql(table)
     return f"""
 toks AS ({toks}),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (
     SELECT d.doc_id, COALESCE(t.dl, 0) AS dl
-    FROM documents d
+    FROM {table} d
     LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)
     WHERE d.text IS NOT NULL AND regexp_replace(d.text, '{BLANK_CLASS}', '', 'g') <> ''
 ),
@@ -129,8 +131,11 @@ def _score_sql(mode: str) -> str:
 
 
 def _topk_sql(terms_df_asc, mode: str, k: int = TOPK,
-              conjunctive: bool = True, offset: int = 0) -> str:
-    """CASE-pivot + fixed-order COALESCE sum + conjunctive filter + top-k."""
+              conjunctive: bool = True, offset: int = 0,
+              pre_cte: str = "", table: str = "documents") -> str:
+    """CASE-pivot + fixed-order COALESCE sum + conjunctive filter + top-k.
+    ``pre_cte`` (e.g. "sdocs AS (...),") + ``table`` point the whole chain
+    at a derived corpus."""
     n = len(terms_df_asc)
     cases = ", ".join(
         f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
@@ -144,7 +149,7 @@ def _topk_sql(terms_df_asc, mode: str, k: int = TOPK,
     )
     off = f" OFFSET {offset}" if offset else ""
     return f"""
-WITH {_base_ctes()},
+WITH {pre_cte}{_base_ctes(table)},
 partials AS (
     SELECT tf.doc_id, tf.term, {_score_sql(mode)} AS s
     FROM tf
@@ -585,6 +590,57 @@ def q_engine_incremental_stats(spark, sf_dir):
         spark.read.parquet(f"{out}/term_stats")
         .select("term", "df", "cf")
     )
+
+
+SKEW_TERM = "zzhot"    # appended to EVERY doc -> df == n_docs (worst Zipf head)
+SKEW_SALT_BUDGET = 64  # df=500 at sf0.01 -> ceil(500/64) = 8 salt subranges
+
+
+def _skew_index_dir(sf_dir: str) -> str:
+    key = hashlib.md5(f"{BUILD_TAG}:skew:{sf_dir}".encode()).hexdigest()[:10]
+    return f"/tmp/ses_index_{key}"
+
+
+def q_engine_skew_topk(spark, sf_dir):
+    """Adversarial-skew stress under the gate: a corpus where ONE term
+    (`zzhot`) appears in EVERY document — df = n_docs, the worst possible
+    Zipf head, the distribution the 100 TB salting story exists for. The
+    build runs with salt_budget=64 so the hot term's postings are split
+    into 8 contiguous doc_id subranges per part (range salting,
+    index_build.py:636-645); the conjunctive query includes the hot term,
+    so scoring must decode and concatenate ALL salted segments (plus
+    block-range skip over the rarest term) and still produce bit-exact
+    BM25. Oracle = the plain SQL scorer over the same derived corpus —
+    salting is invisible to results or it is broken."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + SKEW_TERM))
+    )
+    out = _skew_index_dir(sf_dir)
+    build_index(
+        spark,
+        documents_as_transcripts(docs),
+        out,
+        resume=True,
+        salt_budget=SKEW_SALT_BUDGET,
+    )
+    eng = SearchEngine(spark, out)
+    ids = eng.search_ids(
+        " ".join(QUERY_TERMS + (SKEW_TERM,)), k=TOPK, mode="bm25"
+    )
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# NULL text stays NULL through || on both engines, so the hygiene filter
+# sees the same corpus; whitespace-only docs become non-blank identically
+SKEW_PRE_CTE = (
+    f"sdocs AS (SELECT doc_id, text || ' {SKEW_TERM}' AS text "
+    "FROM documents), "
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2053,6 +2109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_maxdf_topk": q_engine_maxdf_topk,
     "engine_paged_topk": q_engine_paged_topk,
     "engine_incremental_stats": q_engine_incremental_stats,
+    "engine_skew_topk": q_engine_skew_topk,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_order_revenue": q_tpch_order_revenue,
     "tpch_cust_nation_region": q_tpch_cust_nation_region,
@@ -2120,6 +2177,11 @@ ORACLES: dict[str, str] = {
     ),
     # base-build + incremental merge must equal indexing everything at once
     "engine_incremental_stats": SQL_TERM_STATS,
+    # salted hot-term build vs the plain SQL scorer over the derived corpus
+    "engine_skew_topk": _topk_sql(
+        list(QUERY_TERMS) + [SKEW_TERM], "bm25",
+        pre_cte=SKEW_PRE_CTE, table="sdocs",
+    ),
     "tpch_pricing_summary": SQL_TPCH_PRICING,
     "tpch_order_revenue": SQL_TPCH_ORDER_REVENUE,
     "tpch_cust_nation_region": SQL_TPCH_CUST_NATION_REGION,

@@ -50,13 +50,22 @@ STOPWORDS: tuple[str, ...] = (
 _STOPSET = frozenset(STOPWORDS)
 
 # Rule table: (suffix, min_total_len, n_chars_dropped, appended, excluded_suffixes)
-# First matching rule wins; no match -> token unchanged.
+# First matching rule wins (ONE rule per token, no cascading); no match ->
+# token unchanged. Order matters: plural/verb endings, then comparative /
+# superlative / adverb endings (r3: -iest/-ier/-est/-er/-ally/-ily/-ly).
 _RULES: tuple[tuple[str, int, int, str, tuple[str, ...]], ...] = (
     ("ies", 5, 3, "y", ()),
+    ("iest", 7, 4, "y", ()),
+    ("ier", 6, 3, "y", ()),
     ("sses", 5, 2, "", ()),
     ("s", 4, 1, "", ("ss", "us", "is")),
     ("ing", 6, 3, "", ()),
     ("ed", 5, 2, "", ()),
+    ("est", 6, 3, "", ()),
+    ("ally", 7, 2, "", ()),   # usually -> usual, typically -> typical
+    ("ily", 6, 3, "y", ()),   # easily -> easy, daily -> day
+    ("ly", 6, 2, "", ()),     # quickly -> quick, really -> real
+    ("er", 6, 2, "", ()),     # smaller -> small, builder -> build
 )
 
 # Irregular surface form -> lemma (the analog of the reference's DICTIONARY
@@ -64,22 +73,96 @@ _RULES: tuple[tuple[str, int, int, str, tuple[str, ...]], ...] = (
 # Exact-token match applied BEFORE the suffix rules; stop-words never appear
 # here (they are filtered earlier). Frozen like the rule table: changing it
 # changes index semantics (ANALYZER_VERSION below must be bumped).
+# Four sections: (1) irregular verb forms -> base, (2) irregular plurals,
+# (3) e-final / doubled-consonant comparatives the -er/-est rules cannot
+# stem, (4) agentive -er nouns -> verb, and (5) IDENTITY entries — words
+# a suffix rule would mis-stem (request !-> requ, customer !-> custom);
+# mapping a word to itself is how a dictionary-first morphology expresses
+# "this surface form IS a lemma", exactly the reference's dictionary-miss
+# behavior.
 IRREGULARS: dict[str, str] = {
+    # -- irregular verb forms ------------------------------------------
     "went": "go", "gone": "go", "ran": "run", "saw": "see",
     "took": "take", "taken": "take", "gave": "give", "given": "give",
     "made": "make", "found": "find", "built": "build", "bought": "buy",
     "brought": "bring", "thought": "think", "held": "hold", "kept": "keep",
     "left": "leave", "lost": "lose", "met": "meet", "paid": "pay",
     "said": "say", "sold": "sell", "told": "tell", "wrote": "write",
-    "written": "write", "mice": "mouse", "men": "man", "women": "woman",
-    "children": "child", "feet": "foot", "teeth": "tooth", "geese": "goose",
+    "written": "write",
+    "began": "begin", "begun": "begin", "broke": "break", "broken": "break",
+    "came": "come", "chose": "choose", "chosen": "choose", "done": "do",
+    "drew": "draw", "drawn": "draw", "drove": "drive", "driven": "drive",
+    "ate": "eat", "eaten": "eat", "fell": "fall", "fallen": "fall",
+    "felt": "feel", "flew": "fly", "flown": "fly", "forgot": "forget",
+    "forgotten": "forget", "got": "get", "gotten": "get", "grew": "grow",
+    "grown": "grow", "heard": "hear", "hid": "hide", "hidden": "hide",
+    "knew": "know", "known": "know", "led": "lead", "lent": "lend",
+    "meant": "mean", "rode": "ride", "ridden": "ride", "rose": "rise",
+    "risen": "rise", "sang": "sing", "sung": "sing", "sat": "sit",
+    "sent": "send", "shook": "shake", "shaken": "shake", "shot": "shoot",
+    "shown": "show", "slept": "sleep", "spoke": "speak", "spoken": "speak",
+    "spent": "spend", "stood": "stand", "stole": "steal", "stolen": "steal",
+    "stuck": "stick", "swam": "swim", "swum": "swim", "taught": "teach",
+    "threw": "throw", "thrown": "throw", "understood": "understand",
+    "woke": "wake", "woken": "wake", "wore": "wear", "worn": "wear",
+    "won": "win", "bound": "bind", "bred": "breed", "caught": "catch",
+    "dealt": "deal", "dug": "dig", "fed": "feed", "fled": "flee",
+    "froze": "freeze", "frozen": "freeze", "hung": "hang", "laid": "lay",
+    "sought": "seek", "sped": "speed", "spun": "spin", "sprang": "spring",
+    "sprung": "spring", "struck": "strike", "swore": "swear",
+    "sworn": "swear", "tore": "tear", "torn": "tear", "wound": "wind",
+    # -- irregular plurals ---------------------------------------------
+    "mice": "mouse", "men": "man", "women": "woman", "children": "child",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "people": "person",
+    "indices": "index", "matrices": "matrix", "vertices": "vertex",
+    "analyses": "analysis", "crises": "crisis", "theses": "thesis",
+    "criteria": "criterion", "phenomena": "phenomenon", "wolves": "wolf",
+    "knives": "knife", "halves": "half", "selves": "self", "oxen": "ox",
+    # -- comparatives/superlatives the -er/-est rules cannot stem ------
     "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "larger": "large", "largest": "large", "later": "late",
+    "latest": "late", "nicer": "nice", "nicest": "nice", "safer": "safe",
+    "safest": "safe", "closer": "close", "closest": "close",
+    "simpler": "simple", "simplest": "simple", "wider": "wide",
+    "widest": "wide", "finer": "fine", "finest": "fine", "rarer": "rare",
+    "rarest": "rare", "truer": "true", "truest": "true", "bigger": "big",
+    "biggest": "big", "hotter": "hot", "hottest": "hot",
+    "thinner": "thin", "thinnest": "thin",
+    # -- agentive -er nouns -> underlying verb -------------------------
+    "parser": "parse", "compiler": "compile", "scheduler": "schedule",
+    "handler": "handle", "manager": "manage", "consumer": "consume",
+    "producer": "produce", "encoder": "encode", "decoder": "decode",
+    "analyzer": "analyze", "tokenizer": "tokenize", "wrapper": "wrap",
+    "runner": "run", "planner": "plan", "writer": "write",
+    # -- identity lemmas (dictionary shields against rule mis-stems) ---
+    "customer": "customer", "number": "number", "server": "server",
+    "buffer": "buffer", "cluster": "cluster", "filter": "filter",
+    "folder": "folder", "header": "header", "master": "master",
+    "member": "member", "docker": "docker", "worker": "worker",
+    "logger": "logger", "driver": "driver", "counter": "counter",
+    "pointer": "pointer", "trigger": "trigger", "container": "container",
+    "broker": "broker", "register": "register", "character": "character",
+    "chapter": "chapter", "water": "water", "matter": "matter",
+    "letter": "letter", "winter": "winter", "summer": "summer",
+    "answer": "answer", "integer": "integer", "parameter": "parameter",
+    "transfer": "transfer", "gather": "gather", "deliver": "deliver",
+    "consider": "consider", "remember": "remember", "corner": "corner",
+    "differ": "differ", "prefer": "prefer", "proper": "proper",
+    "whether": "whether", "either": "either", "neither": "neither",
+    "rather": "rather", "together": "together", "another": "another",
+    "further": "further", "weather": "weather", "render": "render",
+    "request": "request", "digest": "digest", "suggest": "suggest",
+    "interest": "interest", "manifest": "manifest", "forest": "forest",
+    "honest": "honest", "invest": "invest", "protest": "protest",
+    "contest": "contest",
+    "supply": "supply", "multiply": "multiply", "assembly": "assembly",
+    "anomaly": "anomaly", "monopoly": "monopoly", "family": "family",
 }
 
 # Bump whenever STOPWORDS / _RULES / IRREGULARS change: an index built with
 # a different analyzer version cannot be incrementally extended (documents
 # would tokenize differently than the postings they join against).
-ANALYZER_VERSION = "a2"
+ANALYZER_VERSION = "a3"
 
 _NONWORD_RE = re.compile(r"[^a-z0-9]+")
 

@@ -45,6 +45,22 @@ GOLDENS = [
         {"child": 2, "go": 1, "home": 2, "goe": 1},
     ),
     ("wrote written writes", {"write": 3}),
+    # r3 comparative / superlative / adverb rules + dictionary shields
+    (
+        "The smaller batches run faster; the smallest runs fastest",
+        {"small": 2, "batche": 1, "run": 2, "fast": 2},
+    ),
+    (
+        "Usually it really quickly and easily happens",
+        {"usual": 1, "real": 1, "quick": 1, "easy": 1, "happen": 1},
+    ),
+    # identity dictionary entries beat the -er/-est mis-stem
+    (
+        "the customer filter server request",
+        {"customer": 1, "filter": 1, "server": 1, "request": 1},
+    ),
+    # agentive -er nouns map to the verb via the dictionary
+    ("the parser and the compiler", {"parse": 1, "compile": 1}),
 ]
 
 
@@ -70,6 +86,22 @@ def test_lemma_rules():
     assert lemmatize_token("best") == "good"
     assert lemmatize_token("mice") == "mouse"
     assert lemmatize_token("written") == "write"
+    # r3 rules
+    assert lemmatize_token("happier") == "happy"
+    assert lemmatize_token("easiest") == "easy"
+    assert lemmatize_token("stronger") == "strong"
+    assert lemmatize_token("typically") == "typical"
+    assert lemmatize_token("slowly") == "slow"
+    # min-length guards leave short words alone
+    assert lemmatize_token("user") == "user"
+    assert lemmatize_token("layer") == "layer"
+    assert lemmatize_token("only") == "only"
+    # r3 dictionary additions
+    assert lemmatize_token("largest") == "large"
+    assert lemmatize_token("bigger") == "big"
+    assert lemmatize_token("indices") == "index"
+    assert lemmatize_token("caught") == "catch"
+    assert lemmatize_token("customer") == "customer"  # shield vs -er rule
 
 
 # --- implementation identity --------------------------------------------
