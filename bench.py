@@ -127,7 +127,15 @@ SCALE_DIR = "/dev/shm/bench_scaling"
 # via env for size sweeps (fixed job-orchestration costs amortize with
 # corpus size, so efficiency is size-dependent — see BENCH.md).
 SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "35000"))
-SCALE_CORPUS = f"{SCALE_DIR}/corpus_{SCALE_CONVS}.parquet"
+# a DIRECTORY of parquet files, not one file: a single ~94 MB file is ONE
+# input split at the default maxPartitionBytes, so the whole pre-shuffle
+# scan (parse + project feeding repartitionByRange) ran on a single task —
+# a hidden serial stage that capped measured scaling efficiency (solving
+# t = s + p/N on the r3 stage-A pair gave ~17 s serial). 32 files give
+# every parallelism level under test a fully parallel scan, and mirror how
+# any real corpus arrives (many files across executors).
+SCALE_CORPUS = f"{SCALE_DIR}/corpus_{SCALE_CONVS}_d"
+SCALE_FILES = 32
 SCALE_CHUNKS = 4       # generate chunk-wise to bound pandas peak memory
 SCALE_REPS = 3         # minimum runs per level
 SCALE_MAX_REPS = 6     # adaptive extras: host CPU-steal episodes slow a
@@ -145,23 +153,31 @@ def _ensure_scaling_corpus() -> int:
 
     Path(SCALE_DIR).mkdir(parents=True, exist_ok=True)
     if not Path(SCALE_CORPUS).exists():
-        writer = None
+        tmp = Path(f"{SCALE_CORPUS}._tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
         per = SCALE_CONVS // SCALE_CHUNKS
-        try:
-            for c in range(SCALE_CHUNKS):
-                pdf = make_transcripts_vectorized(
-                    n_conversations=per, seed=11 + c, n_lemmas=2000
-                )
-                pdf["conv_id"] = f"c{c}-" + pdf["conv_id"]
-                tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-                if writer is None:
-                    writer = pq.ParquetWriter(SCALE_CORPUS, tbl.schema)
-                # small row groups -> parallel scan even from a single file
-                writer.write_table(tbl, row_group_size=32768)
-        finally:
-            if writer is not None:
-                writer.close()
-    return pq.ParquetFile(SCALE_CORPUS).metadata.num_rows
+        files_per_chunk = SCALE_FILES // SCALE_CHUNKS
+        for c in range(SCALE_CHUNKS):
+            pdf = make_transcripts_vectorized(
+                n_conversations=per, seed=11 + c, n_lemmas=2000
+            )
+            pdf["conv_id"] = f"c{c}-" + pdf["conv_id"]
+            size = (len(pdf) + files_per_chunk - 1) // files_per_chunk
+            for i in range(files_per_chunk):
+                part = pdf.iloc[i * size : (i + 1) * size]
+                if len(part):
+                    tbl = pa.Table.from_pandas(part, preserve_index=False)
+                    pq.write_table(
+                        tbl,
+                        tmp / f"part-{c:02d}-{i:02d}.parquet",
+                        row_group_size=32768,
+                    )
+        tmp.rename(SCALE_CORPUS)  # atomic: a dir exists only if complete
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in sorted(Path(SCALE_CORPUS).glob("*.parquet"))
+    )
 
 
 def _read_proc_stat() -> list[int]:
@@ -473,6 +489,11 @@ def run_attrib(pair=(4, 16)) -> dict:
         (fb[lo]["build_sec"] / fb[hi]["build_sec"]) / (hi / lo), 3
     )
     out["stages"] = {c: fb[c].get("stages", {}) for c in pair}
+
+    # Spark-free hardware ceiling on the SAME pair (matched control)
+    mp_sec = {c: min(_probe_mp(c) for _ in range(2)) for c in pair}
+    out["mp_sec"] = {c: round(mp_sec[c], 2) for c in pair}
+    out["mp_efficiency"] = round((mp_sec[lo] / mp_sec[hi]) / (hi / lo), 3)
     _write_attrib_md(out)
     return out
 
@@ -534,8 +555,17 @@ def _write_attrib_md(out: dict) -> None:
             for c in out["pair"]
         ),
         "",
-        ATTRIB_END,
     ]
+    if "mp_efficiency" in out:
+        lines += [
+            f"Matched Spark-free control (analyzer hot loop, plain",
+            f"multiprocessing, same corpus): {out['mp_sec'][lo]:.1f} s at",
+            f"{lo} procs vs {out['mp_sec'][hi]:.1f} s at {hi} procs —",
+            f"**efficiency {out['mp_efficiency']:.3f}**, the ceiling this",
+            "box grants embarrassingly-parallel work on the same pair.",
+            "",
+        ]
+    lines += [ATTRIB_END]
     block = "\n".join(lines)
     p = Path("BENCH.md")
     txt = p.read_text() if p.exists() else ""
@@ -737,8 +767,30 @@ def _write_bench_md(out: dict, runs: dict, pairs) -> None:
         "- staging parquet write overlapped with part encode jobs; stats",
         "  job fused with cache materialization; corpus stats piggy-back",
         "  as an Observation on the documents write",
+        "",
+        "## What changed in round 3",
+        "",
+        "- the scaling corpus became a DIRECTORY of 32 parquet files: the",
+        "  old single ~94 MB file was ONE input split at the default",
+        "  maxPartitionBytes, so the entire pre-shuffle scan ran on a",
+        "  single task — a hidden ~17 s serial stage in every prior",
+        "  measurement (and the kind of layout no real corpus has)",
+        "- the analyzer's irregular-forms dictionary lookup became a",
+        "  first-char two-level dispatch: Catalyst evaluates literal-map",
+        "  element_at as a linear scan, and the r3 ~250-entry dictionary",
+        "  had halved analyzer-stage throughput (12.1 s -> 6.4 s over",
+        "  720k turns at local[8] after the fix)",
     ]
-    Path("BENCH.md").write_text("\n".join(lines) + "\n")
+    text = "\n".join(lines) + "\n"
+    # preserve the attribution section (written by --scale-attrib between
+    # its own markers) across full-protocol rewrites
+    p = Path("BENCH.md")
+    if p.exists():
+        old = p.read_text()
+        if ATTRIB_BEGIN in old and ATTRIB_END in old:
+            block = old.split(ATTRIB_BEGIN)[1].split(ATTRIB_END)[0]
+            text += "\n" + ATTRIB_BEGIN + block + ATTRIB_END + "\n"
+    p.write_text(text)
 
 
 def main() -> None:

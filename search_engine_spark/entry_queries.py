@@ -592,6 +592,43 @@ def q_engine_incremental_stats(spark, sf_dir):
     )
 
 
+def _compact_index_dir(sf_dir: str) -> str:
+    key = hashlib.md5(f"{BUILD_TAG}:cpct:{sf_dir}".encode()).hexdigest()[:10]
+    return f"/tmp/ses_index_{key}"
+
+
+def q_engine_compacted_topk(spark, sf_dir):
+    """The full MUTATE lifecycle under the gate (S4/S6/J4 + compaction):
+    build a base index over 80% of the corpus in 3 parts, merge the
+    remaining 20% via incremental_update (appends a 4th part), compact
+    the 4-part layout down to 2 balanced parts
+    (operators/compaction.py — staging-derived rebuild + atomic swap +
+    manifest rewrite), then answer the standard 3-term BM25 query
+    through the compacted index. Oracle = the SAME SQL scorer as
+    engine_bm25_topk: scores must be bit-exact through append + part
+    renumbering + re-salting, proving part layout is invisible to
+    results. Replay-safe: resume no-ops the build, the merge anti-joins
+    to empty, and re-compaction 2->2 is idempotent."""
+    from .operators.compaction import compact_index
+    from .operators.incremental import incremental_update
+
+    out = _compact_index_dir(sf_dir)
+    docs = _docs(spark, sf_dir)
+    base = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 != 0))
+    inc = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 == 0))
+    build_index(spark, base, out, n_parts=3, resume=True)
+    incremental_update(spark, inc, out)
+    compact_index(spark, out, n_parts=2)
+    eng = SearchEngine(spark, out)
+    ids = eng.search_ids(" ".join(QUERY_TERMS), k=TOPK, mode="bm25")
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 SKEW_TERM = "zzhot"    # appended to EVERY doc -> df == n_docs (worst Zipf head)
 SKEW_SALT_BUDGET = 64  # df=500 at sf0.01 -> ceil(500/64) = 8 salt subranges
 
@@ -1866,6 +1903,75 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
 """
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming operator under the driver gate:
+    stream_sessions runs readStream → watermark(1m) →
+    applyInPandasWithState (per-user session state, 30-min event-time
+    timeout) → append parquet sink with trigger(availableNow=True), then
+    reads the sink back. Emitted rows are exactly the sessions the final
+    watermark closed; the oracle re-derives them with lag+cumsum
+    sessionization in SQL over the SAME millisecond-truncated timeline
+    the state operator uses (epoch_ms), restricted to
+    session_end + gap < watermark. Green = constant-memory streaming
+    sessionization is drift-free against the batch semantics
+    (streaming/sessions.py; tests/test_streaming_sessions.py is the
+    pytest twin)."""
+    import tempfile
+
+    from .streaming.sessions import stream_sessions
+
+    base = tempfile.mkdtemp(prefix="ses_stream_sess_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(src)
+    q = stream_sessions(spark, src, ckpt, out, late="1 minute")
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_cents"
+    )
+
+
+# GAP/late mirror streaming/sessions.py (GAP_MS) and the entry above; the
+# stream tracks state in ms-truncated event time, so the oracle sessionizes
+# over epoch_ms(ts) — min/max/gap over floor-truncated values are identical
+# to truncating after, and same-ms tie order cannot change any aggregate
+SQL_STREAMING_SESSIONIZE = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ms,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+o AS (
+    SELECT user_id, event_id, ms, cents,
+           CASE WHEN LAG(ms) OVER w IS NULL
+                  OR ms - LAG(ms) OVER w > 1800000
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+s AS (
+    SELECT user_id, ms, cents,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+),
+agg AS (
+    SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS last_ms,
+           COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM s GROUP BY 1, 2
+),
+wm AS (SELECT epoch_ms(MAX(ts)) - 60000 AS wm_ms FROM events)
+SELECT user_id,
+       make_timestamp(start_ms * 1000) AS session_start,
+       make_timestamp(last_ms * 1000) AS session_end,
+       n_events, sum_cents
+FROM agg CROSS JOIN wm
+WHERE last_ms + 1800000 < wm_ms
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -2110,6 +2216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_paged_topk": q_engine_paged_topk,
     "engine_incremental_stats": q_engine_incremental_stats,
     "engine_skew_topk": q_engine_skew_topk,
+    "engine_compacted_topk": q_engine_compacted_topk,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_order_revenue": q_tpch_order_revenue,
     "tpch_cust_nation_region": q_tpch_cust_nation_region,
@@ -2138,6 +2245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_json": q_events_json,
     "streaming_tumbling": q_streaming_tumbling,
+    "streaming_sessionize": q_streaming_sessionize,
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
     "media_features": q_media_features,
@@ -2182,6 +2290,8 @@ ORACLES: dict[str, str] = {
         list(QUERY_TERMS) + [SKEW_TERM], "bm25",
         pre_cte=SKEW_PRE_CTE, table="sdocs",
     ),
+    # build + incremental merge + compaction must stay score-exact
+    "engine_compacted_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
     "tpch_pricing_summary": SQL_TPCH_PRICING,
     "tpch_order_revenue": SQL_TPCH_ORDER_REVENUE,
     "tpch_cust_nation_region": SQL_TPCH_CUST_NATION_REGION,
@@ -2211,6 +2321,7 @@ ORACLES: dict[str, str] = {
     "events_json": SQL_EVENTS_JSON,
     # closed tumbling windows from the REAL streaming job == batch SQL
     "streaming_tumbling": SQL_STREAMING_TUMBLING,
+    "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_audio_stats": SQL_MEDIA_AUDIO_STATS,
