@@ -104,18 +104,23 @@ class EngineAPI:
         self,
         query: str,
         *,
+        site: str | None = None,
         offset: int = 0,
         limit: int = 20,
         mode: str = "bm25",
         max_df: int | None = None,
     ) -> dict[str, Any]:
         """Paginated search with the reference's response envelope:
-        {result, count, data:[{...}]} (SearchServiceImpl.java:78-90)."""
+        {result, count, data:[{...}]} (SearchServiceImpl.java:78-90).
+        ``site`` restricts results to conversations whose conv_id starts
+        with it — the reference's optional site parameter
+        (ApiController.java:43-47, SearchServiceImpl.java:105-114)."""
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
         eng = SearchEngine(self.spark, self.index_dir)
         rows = eng.search(
-            query, k=limit, offset=offset, mode=mode, max_df=max_df
+            query, k=limit, offset=offset, mode=mode, max_df=max_df,
+            scope=site,
         ).collect()
         if not rows:
             return {"result": True, "count": 0, "data": []}

@@ -132,10 +132,12 @@ def _score_sql(mode: str) -> str:
 
 def _topk_sql(terms_df_asc, mode: str, k: int = TOPK,
               conjunctive: bool = True, offset: int = 0,
-              pre_cte: str = "", table: str = "documents") -> str:
+              pre_cte: str = "", table: str = "documents",
+              extra_pred: str = "") -> str:
     """CASE-pivot + fixed-order COALESCE sum + conjunctive filter + top-k.
     ``pre_cte`` (e.g. "sdocs AS (...),") + ``table`` point the whole chain
-    at a derived corpus."""
+    at a derived corpus; ``extra_pred`` ANDs onto the partials WHERE
+    (e.g. a scope restriction)."""
     n = len(terms_df_asc)
     cases = ", ".join(
         f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
@@ -147,6 +149,7 @@ def _topk_sql(terms_df_asc, mode: str, k: int = TOPK,
         if conjunctive
         else "TRUE"
     )
+    pred = f" AND {extra_pred}" if extra_pred else ""
     off = f" OFFSET {offset}" if offset else ""
     return f"""
 WITH {pre_cte}{_base_ctes(table)},
@@ -156,7 +159,7 @@ partials AS (
     JOIN dft USING (term)
     JOIN dl ON tf.doc_id = dl.doc_id
     CROSS JOIN stats
-    WHERE tf.term IN ({_in_list(terms_df_asc)})
+    WHERE tf.term IN ({_in_list(terms_df_asc)}){pred}
 ),
 pivoted AS (SELECT doc_id, {cases} FROM partials GROUP BY doc_id)
 SELECT doc_id, {total} AS score
@@ -589,6 +592,50 @@ def q_engine_incremental_stats(spark, sf_dir):
     return (
         spark.read.parquet(f"{out}/term_stats")
         .select("term", "df", "cf")
+    )
+
+
+SCOPE_PREFIX = "src1"  # matches src1, src10..src19 — 11 sources, 275 docs
+
+
+def _scoped_index_dir(sf_dir: str) -> str:
+    key = hashlib.md5(f"{BUILD_TAG}:scope:{sf_dir}".encode()).hexdigest()[:10]
+    return f"/tmp/ses_index_{key}"
+
+
+def q_engine_scoped_topk(spark, sf_dir):
+    """P4 site-scoped search through the ENGINE (the reference restricts
+    a search to one site when given, SearchServiceImpl.java:105-114 —
+    our site analog is the documents `source` column, mapped to conv_id
+    so each source is one 'site'). Because doc_ids are dense in
+    (conv_id, turn_idx) order, a conv-prefix scope is ONE contiguous
+    doc_id interval, pushed into the postings scan as a range predicate
+    (row-group pruning) instead of a join against the doc store —
+    at 100 TB a scope costs one min/max lookup, not a shuffle. Scoring
+    statistics stay GLOBAL (scope excludes candidates, it does not
+    re-derive idf — documented deviation from the reference's per-site
+    lemma frequencies). Oracle = the plain scorer with the same scope
+    predicate on the partials."""
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = _scoped_index_dir(sf_dir)
+    build_index(spark, transcripts, out, resume=True)
+    eng = SearchEngine(spark, out)
+    ids = eng.search_ids(
+        " ".join(QUERY_TERMS), k=TOPK, mode="bm25", scope=SCOPE_PREFIX
+    )
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
     )
 
 
@@ -2217,6 +2264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_incremental_stats": q_engine_incremental_stats,
     "engine_skew_topk": q_engine_skew_topk,
     "engine_compacted_topk": q_engine_compacted_topk,
+    "engine_scoped_topk": q_engine_scoped_topk,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_order_revenue": q_tpch_order_revenue,
     "tpch_cust_nation_region": q_tpch_cust_nation_region,
@@ -2292,6 +2340,14 @@ ORACLES: dict[str, str] = {
     ),
     # build + incremental merge + compaction must stay score-exact
     "engine_compacted_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
+    # P4 scope: global stats, candidates restricted to the scoped sources
+    "engine_scoped_topk": _topk_sql(
+        _oracle_terms_sorted(), "bm25",
+        extra_pred=(
+            "tf.doc_id IN (SELECT doc_id FROM documents "
+            f"WHERE source LIKE '{SCOPE_PREFIX}%')"
+        ),
+    ),
     "tpch_pricing_summary": SQL_TPCH_PRICING,
     "tpch_order_revenue": SQL_TPCH_ORDER_REVENUE,
     "tpch_cust_nation_region": SQL_TPCH_CUST_NATION_REGION,

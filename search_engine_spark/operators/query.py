@@ -159,15 +159,36 @@ class SearchEngine:
                 merged.append((lo, hi))
         return merged
 
+    def _scope_range(self, scope: str) -> tuple[int, int] | None:
+        """P4 site-scope → doc_id range (SearchServiceImpl.java:105-114).
+        doc_ids are dense in (conv_id, turn_idx) order, so every conv_id
+        PREFIX owns one contiguous doc_id interval — scoping becomes a
+        range predicate the parquet scan prunes on (row-group min/max over
+        first/last_doc_id), not a join against the doc store. Returns
+        None when no document matches the scope."""
+        row = (
+            self.documents.filter(F.col("conv_id").startswith(scope))
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()[0]
+        )
+        if row["lo"] is None:
+            return None
+        return int(row["lo"]), int(row["hi"])
+
     def candidate_scores(
         self,
         infos: list[TermInfo],
         mode: str = "bm25",
         conjunctive: bool = True,
+        scope_range: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Decode matching posting blocks -> (doc_id, order, s) partial
-        scores. Partition-pruned by bucket, row-group pruned by term and
-        (conjunctive) by rarest-term doc_id ranges."""
+        scores. Partition-pruned by bucket, row-group pruned by term,
+        (conjunctive) by rarest-term doc_id ranges, and (scoped) by the
+        scope's doc_id interval. Scoring statistics stay GLOBAL under a
+        scope (idf/avgdl of the whole corpus — the scope excludes
+        candidates, it does not define a sub-corpus; documented deviation
+        from the reference's per-site lemma frequencies, SURVEY.md §7.5)."""
         terms = [ti.term for ti in infos]
         params = {
             ti.term: (ti.order, self._idf(ti.df)) for ti in infos
@@ -177,6 +198,19 @@ class SearchEngine:
         ranges = None
         if conjunctive and len(infos) > 1:
             ranges = self._rare_term_ranges(infos[0])
+        if scope_range is not None:
+            s_lo, s_hi = scope_range
+            if ranges is None:
+                ranges = [scope_range]
+            else:
+                # intersect rare-term ranges with the scope interval
+                ranges = [
+                    (max(lo, s_lo), min(hi, s_hi))
+                    for lo, hi in ranges
+                    if hi >= s_lo and lo <= s_hi
+                ]
+                if not ranges:
+                    ranges = [(1, 0)]  # empty intersection -> no blocks
 
         # bucket = pmod(hash(term), n_buckets) is a directory partition
         # column — computing the query terms' buckets driver-side (pure
@@ -264,8 +298,12 @@ class SearchEngine:
         mode: str = "bm25",
         max_df: int | None = None,
         conjunctive: bool = True,
+        scope: str | None = None,
     ) -> DataFrame:
-        """Top-k (doc_id, score) — the rank-identity contract surface."""
+        """Top-k (doc_id, score) — the rank-identity contract surface.
+        ``scope`` restricts results to conversations whose conv_id starts
+        with it (the reference's site-scoped search,
+        SearchServiceImpl.java:105-114) via doc_id-range pushdown."""
         empty = self.spark.createDataFrame(
             [], schema="doc_id long, score double"
         )
@@ -278,8 +316,15 @@ class SearchEngine:
             return empty
         if not infos:
             return empty
+        scope_range = None
+        if scope is not None:
+            scope_range = self._scope_range(scope)
+            if scope_range is None:  # scope matches no documents
+                return empty
 
-        partials = self.candidate_scores(infos, mode=mode, conjunctive=conjunctive)
+        partials = self.candidate_scores(
+            infos, mode=mode, conjunctive=conjunctive, scope_range=scope_range
+        )
         n = len(infos)
         # pivot to one column per term (values are single partial scores,
         # so the pivot-sum is exact), then combine left-to-right in
@@ -328,11 +373,12 @@ class SearchEngine:
         max_df: int | None = None,
         conjunctive: bool = True,
         with_snippets: bool = True,
+        scope: str | None = None,
     ) -> DataFrame:
         """Full result projection (P6): doc metadata + score + snippet."""
         ids = self.search_ids(
             query, k=k, offset=offset, mode=mode, max_df=max_df,
-            conjunctive=conjunctive,
+            conjunctive=conjunctive, scope=scope,
         )
         joined = self.documents.join(F.broadcast(ids), "doc_id")
         if with_snippets:

@@ -68,6 +68,27 @@ def test_pagination_slices_consistently(engine, oracle_idx):
     assert page2["doc_id"].tolist() == full["doc_id"].tolist()[10:20]
 
 
+def test_scoped_search_is_exclusion(engine):
+    """P4 scope (site-scoped search analog): scoped top-k must equal the
+    unscoped scored set restricted to the scope then re-cut — scoring
+    statistics stay global, the scope only excludes candidates."""
+    docs = engine.documents.select("doc_id", "conv_id").toPandas()
+    scope = "conv-00001"  # conv-000010 .. conv-000019
+    all_hits = engine.search_ids("query index", k=100000).toPandas()
+    merged = all_hits.merge(docs, on="doc_id")
+    exp = (
+        merged[merged["conv_id"].str.startswith(scope)]
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+    )
+    got = engine.search_ids("query index", k=10, scope=scope).toPandas()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+    assert len(got) > 0
+    # a scope matching no conversation returns empty, never errors
+    assert engine.search_ids("query index", k=5, scope="zz-none").count() == 0
+
+
 def test_statistics(engine):
     stats = engine.statistics().toPandas()
     assert stats["n_docs"].sum() == engine.n_docs
