@@ -101,6 +101,14 @@ class SearchEngine:
                 ) from ex
             self.postings = spark.createDataFrame([], schema=schemas.POSTINGS)
         self.documents = spark.read.parquet(f"{index_dir}/documents")
+        # A SearchEngine is a SNAPSHOT view of an immutable index (it
+        # already pins corpus_stats at construction), so per-term
+        # dictionary rows and block ranges can be memoized — repeated or
+        # vocabulary-overlapping queries skip whole driver-coordinated
+        # Spark jobs, the dominant fixed cost of the latency-bound read
+        # path. Rebuild the engine after an incremental_update.
+        self._df_cache: dict[str, int | None] = {}
+        self._ranges_cache: dict[str, list[tuple[int, int]] | None] = {}
 
     # ------------------------------------------------------------------
     def lookup_terms(self, query: str, max_df: int | None = None) -> tuple[list[TermInfo], int]:
@@ -110,12 +118,21 @@ class SearchEngine:
         q_terms = sorted(set(analyze_text(query)))
         if not q_terms:
             return [], 0
-        rows = (
-            self.term_stats.filter(F.col("term").isin(q_terms))
-            .select("term", "df")
-            .collect()
-        )
-        found = {r["term"]: int(r["df"]) for r in rows}
+        uncached = [t for t in q_terms if t not in self._df_cache]
+        if uncached:
+            rows = (
+                self.term_stats.filter(F.col("term").isin(uncached))
+                .select("term", "df")
+                .collect()
+            )
+            hit = {r["term"]: int(r["df"]) for r in rows}
+            for t in uncached:  # absent terms memoize as None
+                self._df_cache[t] = hit.get(t)
+        found = {
+            t: self._df_cache[t]
+            for t in q_terms
+            if self._df_cache[t] is not None
+        }
         n_missing = sum(1 for t in q_terms if t not in found)
         infos = [
             TermInfo(t, found[t], 0)
@@ -142,6 +159,8 @@ class SearchEngine:
     PRUNE_MAX_FILTER_RANGES = 64   # OR-chain size Catalyst handles happily
 
     def _rare_term_ranges(self, rare: TermInfo) -> list[tuple[int, int]] | None:
+        if rare.term in self._ranges_cache:
+            return self._ranges_cache[rare.term]
         rows = (
             self.postings.filter(F.col("term") == rare.term)
             .select("first_doc_id", "last_doc_id")
@@ -149,6 +168,7 @@ class SearchEngine:
             .collect()
         )
         if not rows or len(rows) > self.PRUNE_MAX_RARE_BLOCKS:
+            self._ranges_cache[rare.term] = None
             return None
         spans = sorted((int(r["first_doc_id"]), int(r["last_doc_id"])) for r in rows)
         merged = [spans[0]]
@@ -157,6 +177,7 @@ class SearchEngine:
                 merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
             else:
                 merged.append((lo, hi))
+        self._ranges_cache[rare.term] = merged
         return merged
 
     def _scope_range(self, scope: str) -> tuple[int, int] | None:
@@ -165,15 +186,22 @@ class SearchEngine:
         PREFIX owns one contiguous doc_id interval — scoping becomes a
         range predicate the parquet scan prunes on (row-group min/max over
         first/last_doc_id), not a join against the doc store. Returns
-        None when no document matches the scope."""
+        None when no document matches the scope. Memoized like the
+        dictionary rows (immutable snapshot view)."""
+        key = f"\x00scope:{scope}"
+        if key in self._ranges_cache:
+            cached = self._ranges_cache[key]
+            return cached[0] if cached else None
         row = (
             self.documents.filter(F.col("conv_id").startswith(scope))
             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
             .collect()[0]
         )
-        if row["lo"] is None:
-            return None
-        return int(row["lo"]), int(row["hi"])
+        result = (
+            None if row["lo"] is None else (int(row["lo"]), int(row["hi"]))
+        )
+        self._ranges_cache[key] = [result] if result else None
+        return result
 
     def candidate_scores(
         self,
