@@ -48,6 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
 from ..functions.analyzer import ANALYZER_VERSION, terms_col
 from ..functions.codec import varbyte_encode_sliced
@@ -412,8 +413,18 @@ def build_index(
     # write chains run concurrently off the cache:
     #   thread 1: documents write (corpus_stats piggy-backs as an
     #             Observation on the same action — no second docs pass)
-    #   thread 2: staging write (analyzer -> explode -> tf agg), then
-    #             term_stats from the staging cache (no re-read)
+    #   main:     staging write (analyzer -> explode -> tf agg -> parquet,
+    #             partitioned by part_id) — the ONLY pass over the exploded
+    #             postings; avgdl/max_dl ride it as an Observation
+    #   thread 2: term_stats from the staging parquet (column-pruned read
+    #             of (term, tf) — overlaps the part encodes)
+    # The exploded rows are deliberately NOT persisted in executor memory:
+    # at scale that cache is corpus-sized (O(total tokens)), and filling it
+    # costs allocation/GC bandwidth on every task thread — the staging
+    # parquet IS the materialization, and every downstream consumer
+    # (term_stats, part encodes, incremental merge, compaction) reads the
+    # partition-pruned, column-pruned slice it needs. This also makes the
+    # fresh and resume paths take the SAME stage-C code path.
     # The analyzer is the Catalyst terms_col expression — the whole stage
     # is JVM-side whole-stage codegen; no Python worker, no Arrow transfer.
     # (terms are computed independently per chain: recomputing the codegen
@@ -450,9 +461,9 @@ def build_index(
             .withColumn(
                 "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
             )
-            .persist()
         )
         stats_ob = Observation(f"stats_{int(t0)}")
+        fill_ob = Observation(f"fill_{int(t0)}")
 
         def _write_docs_corpus() -> None:
             tw = time.time()
@@ -477,51 +488,64 @@ def build_index(
                 corpus_pdf, schema=schemas.CORPUS_STATS
             ).write.mode("overwrite").parquet(corpus_path)
 
-        def _materialize_stats() -> None:
-            # FIRST action on `exploded`: pays the explode+agg shuffle once
-            # and materializes the cache; term_stats lands as a durable table
+        def _write_stats(n_postings: int) -> None:
+            # term_stats from the staging parquet: a column-pruned read of
+            # (term, tf) only — runs concurrently with the part encodes.
+            # An all-empty corpus writes no staging part files (the dir is
+            # unreadable), so the empty dictionary comes from the schema.
             tw = time.time()
-            term_stats_df = exploded.groupBy("term").agg(
-                F.count("*").alias("df"), F.sum("tf").alias("cf")
-            ).observe(stats_ob, F.count(F.lit(1)).alias("n_terms"))
+            if n_postings == 0:
+                term_stats_df = spark.createDataFrame(
+                    [], schema=schemas.TERM_STATS
+                ).observe(stats_ob, F.count(F.lit(1)).alias("n_terms"))
+            else:
+                term_stats_df = (
+                    spark.read.parquet(staging_path)
+                    .groupBy("term")
+                    .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+                    .observe(stats_ob, F.count(F.lit(1)).alias("n_terms"))
+                )
             term_stats_df.write.mode("overwrite").parquet(stats_path)
-            _plog("term_stats write (materialize tf cache)", tw)
-
-        def _write_staging() -> None:
-            # durability artifact only (resume/incremental/compaction read
-            # it) — stage C encodes from the cache, so this write overlaps
-            # the part-encode jobs instead of gating them
-            tw = time.time()
-            exploded.write.mode("overwrite").partitionBy("part_id").parquet(
-                staging_path
-            )
-            _plog("staging write", tw)
+            _plog("term_stats write (from staging)", tw)
 
         from concurrent.futures import ThreadPoolExecutor
 
         ex = ThreadPoolExecutor(max_workers=3)
         try:
             f_docs = ex.submit(_write_docs_corpus)
-            f_stats = ex.submit(_materialize_stats)
-            f_stats.result()
-            f_staging = ex.submit(_write_staging)
-            f_docs.result()
+            # THE materializing pass over the postings rows: analyzer ->
+            # explode -> tf agg -> partitioned parquet, with the encode-side
+            # corpus scalars riding as an Observation (sum(tf) over posting
+            # rows == sum(dl) over documents, exactly — integer sums).
+            tw = time.time()
+            exploded.observe(
+                fill_ob,
+                F.count(F.lit(1)).alias("n_postings"),
+                F.sum("tf").alias("tok_sum"),
+                F.max("dl").alias("max_dl"),
+            ).write.mode("overwrite").partitionBy("part_id").parquet(
+                staging_path
+            )
+            _plog("staging write (tf agg + explode)", tw)
+            fm = fill_ob.get
+            f_stats = ex.submit(_write_stats, int(fm["n_postings"] or 0))
         except BaseException:
-            # a failed stats/docs job must not leak the pinned caches or
+            # a failed staging/docs job must not leak the pinned cache or
             # the in-flight executor
             ex.shutdown(wait=True)
             cached.unpersist()
-            exploded.unpersist()
             raise
 
         def _finalize_stage_a() -> None:
             # stage rows are the stage-A commit markers: written only after
             # EVERY stage-A artifact (docs, corpus, stats, staging) is
-            # durable. Part rows may land earlier — safe, because doc_ids
+            # durable (staging landed on the main thread before stage C).
+            # Part rows may land earlier — safe, because doc_ids
             # are deterministic: a resume that redoes stage A regenerates
             # identical ids, so already-DONE parts stay valid.
             try:
-                f_staging.result()
+                f_stats.result()
+                f_docs.result()
             finally:
                 ex.shutdown(wait=True)
             now = time.time()
@@ -555,13 +579,22 @@ def build_index(
                 },
             )
 
-        m = corpus_ob.get
+        # encode-side scalars from the staging Observation — bit-identical
+        # to the corpus_stats the docs write persists: sum(tf) over posting
+        # rows equals sum(dl) over documents exactly (integer-valued double
+        # sums are exact below 2^53), and zero-dl docs (absent from
+        # staging) cannot carry the max. Block-skip correctness
+        # (score <= block_max_score) relies on this identity.
         fresh = {
-            "exploded": exploded,
             "cached": cached,
+            "stats_future": f_stats,
             "finalize": _finalize_stage_a,
-            "avgdl": float(m["avgdl"]) if m["avgdl"] else 1.0,
-            "max_tf_sum": float(m["max_tf_sum"] or 0.0),
+            "avgdl": (
+                float(fm["tok_sum"]) / float(n_docs)
+                if fm["tok_sum"]
+                else 1.0
+            ),
+            "max_tf_sum": float(fm["max_dl"] or 0.0),
         }
     else:
         fresh = None
@@ -609,8 +642,19 @@ def build_index(
         max_tf_sum = float(corpus_row["max_tf_sum"] or 0.0)
 
     # ---------------- Stage C: per-part posting encode ---------------------
+    # Fresh and resume take the SAME path: each part reads its
+    # partition-pruned slice of the staging parquet and broadcast-joins the
+    # term dictionary. The stats job runs concurrently with the staging
+    # write's tail; wait for its parquet before resolving the read below.
+    if fresh is not None:
+        fresh["stats_future"].result()
     term_stats = spark.read.parquet(stats_path)
-    staging_src = fresh["exploded"] if fresh is not None else None
+    try:
+        staging_df = spark.read.parquet(staging_path)
+    except AnalysisException:
+        # a corpus whose every document analyzed to zero terms writes no
+        # staging part files (dir exists, no schema) — encode empty parts
+        staging_df = spark.createDataFrame([], schema=schemas.STAGING)
     actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
     todo = [
         p for p in range(actual_parts)
@@ -622,12 +666,7 @@ def build_index(
         t0 = time.time()
         tpart = t0
         part_lo = p * part_size
-        base_df = (
-            staging_src
-            if staging_src is not None
-            else spark.read.parquet(staging_path)
-        )
-        raw_p = base_df.filter(F.col("part_id") == p)
+        raw_p = staging_df.filter(F.col("part_id") == p)
         joined = raw_p.join(
             F.broadcast(term_stats.select("term", "df")), "term"
         )
@@ -706,10 +745,9 @@ def build_index(
             try:
                 fresh["finalize"]()
             finally:
-                # unpersist even when the staging join raises (a finalize
-                # failure must not pin the caches for the session lifetime)
+                # unpersist even when finalize raises (a finalize failure
+                # must not pin the cache for the session lifetime)
                 fresh["cached"].unpersist()
-                fresh["exploded"].unpersist()
 
     manifest = _read_manifest(out_dir)
     total_blocks = sum(

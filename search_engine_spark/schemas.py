@@ -50,6 +50,20 @@ DOCUMENTS = T.StructType(
 # cf = collection frequency (sum of tf) — extension needed by nothing in the
 # reference but cheap and useful for stats.
 # ---------------------------------------------------------------------------
+# _staging_postings_raw — the durable exploded (term, doc) rows, written
+# once per build partitioned by part_id; term_stats, part encodes,
+# incremental merge, and compaction all read partition/column-pruned slices
+# of it. part_id is a directory partition column on disk.
+STAGING = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("part_id", T.IntegerType(), False),
+    ]
+)
+
 TERM_STATS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),

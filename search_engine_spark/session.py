@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Batch-throughput GC: Spark on Java 17 defaults to G1, which
+        # trades throughput for pause time; an index build has no latency
+        # SLO, and ParallelGC measurably cuts the single-JVM CPU inflation
+        # at high thread counts (see BENCH.md). Override or disable with
+        # SPARK_GRAFT_JAVA_OPTS="" / your own flags. Local mode runs
+        # executors in the driver JVM, so driver opts govern the whole box;
+        # on a cluster, mirror this in spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

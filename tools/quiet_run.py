@@ -1,0 +1,97 @@
+"""Opportunistic scaling-run launcher for a noisy-neighbor VM.
+
+Waits for a host-quiet window (steal below a threshold over a probe
+interval), launches ONE fresh-process bench measurement, and repeats
+until a steal-clean run (steal_sec <= 2% of wall x cores, the BENCH.md
+protocol) is captured or attempts run out. Prints every run's JSON line;
+the last line is the best clean run (or the best overall if none clean).
+
+Usage:
+  python tools/quiet_run.py --mode --scale-one --cpus 16 \
+      --convs 140000 [--attempts 6] [--quiet-pct 0.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def steal_pct(interval: float = 10.0) -> float:
+    def snap():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
+    a = snap()
+    time.sleep(interval)
+    b = snap()
+    d = [y - x for x, y in zip(a, b)]
+    return 100.0 * d[7] / max(1, sum(d))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="--scale-one")
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--convs", type=int, default=35000)
+    ap.add_argument("--attempts", type=int, default=6)
+    ap.add_argument("--quiet-pct", type=float, default=0.5)
+    ap.add_argument("--probe-sec", type=float, default=12.0)
+    ap.add_argument("--max-wait-sec", type=float, default=1200.0)
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SCALE_CONVS"] = str(args.convs)
+    env.setdefault(
+        "SPARK_GRAFT_JAVA_OPTS",
+        f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cpus}",
+    )
+    runs: list[dict] = []
+    for attempt in range(args.attempts):
+        waited = 0.0
+        while waited < args.max_wait_sec:
+            p = steal_pct(args.probe_sec)
+            waited += args.probe_sec
+            if p <= args.quiet_pct:
+                break
+            print(
+                f"[quiet_run] steal {p:.2f}% > {args.quiet_pct}%, waiting",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(20)
+            waited += 20
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), args.mode, str(args.cpus)],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+            continue
+        for line in out.stderr.splitlines():
+            if line.startswith("[build-profile] "):
+                print(line, file=sys.stderr, flush=True)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        r["clean"] = r["steal_sec"] <= 0.02 * r["build_sec"] * args.cpus
+        runs.append(r)
+        print(json.dumps(r), flush=True)
+        if r["clean"]:
+            break
+    if not runs:
+        sys.exit(1)
+    clean = [r for r in runs if r["clean"]]
+    best = min(clean or runs, key=lambda r: r["build_sec"])
+    print(json.dumps({"best": best, "n_runs": len(runs)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
