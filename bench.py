@@ -435,6 +435,59 @@ def _probe_mp(nproc: int) -> float:
     return sec
 
 
+def _probe_mp_encode(nproc: int) -> float:
+    """Spark-free control for the STAGE-C posting-encode workload: each
+    pool worker reads a disjoint set of real staging parquet files (from a
+    prior --scaling run's index on tmpfs), sorts them (term, doc_id) and
+    runs the EXACT partition encoder (_make_part_encoder: delta pass,
+    varbyte width/scatter passes, reduceat block maxima) — i.e. a stage-C
+    task minus Spark's shuffle/Arrow/parquet-write envelope. Its N->4N
+    efficiency is what this box grants the byte-scatter-heavy encode
+    kernel under plain multiprocessing — the ceiling the measured stage-C
+    scaling must be read against."""
+    import multiprocessing as mp
+
+    staging = Path(f"{SCALE_DIR}/idx_16/_staging_postings_raw")
+    if not staging.exists():
+        staging = Path(f"{SCALE_DIR}/idx_4/_staging_postings_raw")
+    files = sorted(str(p) for p in staging.glob("part_id=*/*.parquet"))
+    if not files:
+        raise SystemExit(
+            "no staging parquet on tmpfs — run `python bench.py --scaling` "
+            "(or one --scale-one leg) first to materialize an index"
+        )
+    shards = [files[i::4 * nproc] for i in range(4 * nproc)]
+    shards = [s for s in shards if s]
+    with mp.Pool(nproc) as pool:
+        pool.map(_mp_warm, range(nproc))
+        pool.map(_mp_encode_work, shards[:nproc])  # warm page cache + numpy
+        t0 = time.time()
+        res = pool.map(_mp_encode_work, shards)
+        sec = time.time() - t0
+    assert sum(res) > 0
+    return sec
+
+
+def _mp_encode_work(paths) -> int:
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.operators.index_build import _make_part_encoder
+
+    pdf = pd.concat(
+        [pq.read_table(p).to_pandas() for p in paths], ignore_index=True
+    )
+    pdf = pdf.sort_values(["term", "doc_id"], kind="stable", ignore_index=True)
+    pdf = pdf.rename(columns={"term": "term_id"})  # kernel is id-typed
+    pdf["salt"] = 0
+    pdf["df"] = 1000
+    enc = _make_part_encoder(2_813_043, 16.6, 128)
+    n = 0
+    for out in enc(iter([pdf])):
+        n += len(out)
+    return n
+
+
 def _mp_warm(_):
     from search_engine_spark.functions.analyzer import analyze_series  # noqa
 
@@ -836,6 +889,8 @@ def main() -> None:
                     help="stage-A isolation + per-stage attribution table")
     ap.add_argument("--probe-mp", type=int, default=None,
                     help="Spark-free analyzer probe with N processes")
+    ap.add_argument("--probe-mp-encode", type=int, default=None,
+                    help="Spark-free stage-C encode-kernel probe, N procs")
     ap.add_argument("--scale-query-one", type=int, default=None,
                     help="concurrent query-throughput measurement at local[N]")
     ap.add_argument("--sf-dir", default=SF_DIR)
@@ -857,6 +912,9 @@ def main() -> None:
         _ensure_scaling_corpus()
         print(json.dumps({"nproc": args.probe_mp,
                           "sec": round(_probe_mp(args.probe_mp), 2)}))
+    elif args.probe_mp_encode is not None:
+        print(json.dumps({"nproc": args.probe_mp_encode,
+                          "sec": round(_probe_mp_encode(args.probe_mp_encode), 2)}))
     elif args.scale_query_one is not None:
         _ensure_scaling_corpus()
         print(json.dumps(_scaling_query(args.scale_query_one)))

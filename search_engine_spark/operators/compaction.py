@@ -28,10 +28,13 @@ from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .index_build import (
+    _attach_terms,
     _manifest_path,
     _read_manifest,
     _write_manifest_row,
+    check_hash_ids,
     encode_salted,
+    prepare_salted,
 )
 
 
@@ -76,18 +79,19 @@ def compact_index(
     rows_per_part: dict[int, dict] = {}
     actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
 
+    hash_ids = check_hash_ids(term_stats)
+
     def _compact_part(p: int) -> None:
         raw_p = raw.filter(F.col("part_id") == p)
-        joined = raw_p.join(F.broadcast(term_stats.select("term", "df")), "term")
-        n_salts = F.greatest(
-            F.lit(1), F.ceil(F.col("df") / F.lit(salt_budget)).cast("long")
+        salted = prepare_salted(
+            raw_p, term_stats, p * part_size, part_size, salt_budget, hash_ids
         )
-        salted = joined.withColumn(
-            "salt",
-            (((F.col("doc_id") - F.lit(p * part_size)) * n_salts)
-             / F.lit(part_size)).cast("int"),
-        ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-        encoded = encode_salted(salted, spark, n_docs, avgdl, block_size)
+        encoded = _attach_terms(
+            encode_salted(salted, spark, n_docs, avgdl, block_size),
+            term_stats,
+            n_buckets,
+            hash_ids,
+        )
         obs = Observation(f"compact_{p}_{int(t0)}")
         encoded = encoded.observe(
             obs,

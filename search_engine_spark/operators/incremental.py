@@ -49,11 +49,14 @@ from pyspark.sql import functions as F
 
 from ..functions.analyzer import ANALYZER_VERSION, terms_col
 from .index_build import (
+    _attach_terms,
     _read_manifest,
     _write_manifest_row,
     assign_doc_ids,
+    check_hash_ids,
     clean_transcripts,
     encode_salted,
+    prepare_salted,
 )
 
 
@@ -288,17 +291,17 @@ def incremental_update(
     avgdl = float(avg_row["a"]) if avg_row["a"] else 1.0
 
     raw_p = raw.filter(F.col("part_id") == part_new)
-    joined = raw_p.join(F.broadcast(term_stats_now.select("term", "df")), "term")
-    n_salts = F.greatest(
-        F.lit(1), F.ceil(F.col("df") / F.lit(salt_budget)).cast("long")
-    )
     batch_span = max(1, n_new)
-    salted = joined.withColumn(
-        "salt",
-        (((F.col("doc_id") - F.lit(base)) * n_salts) / F.lit(batch_span))
-        .cast("int"),
-    ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-    encoded = encode_salted(salted, spark, docs_after, avgdl, block_size)
+    hash_ids = check_hash_ids(term_stats_now)
+    salted = prepare_salted(
+        raw_p, term_stats_now, base, batch_span, salt_budget, hash_ids
+    )
+    encoded = _attach_terms(
+        encode_salted(salted, spark, docs_after, avgdl, block_size),
+        term_stats_now,
+        n_buckets,
+        hash_ids,
+    )
     obs = Observation(f"incr_part_{part_new}_{int(t0)}")
     encoded = encoded.observe(
         obs,

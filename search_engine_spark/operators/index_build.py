@@ -232,10 +232,19 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
     """Partition-level mapInPandas encoder. Input partitions are hash-
-    partitioned by (term, salt) and sorted by (term, salt, doc_id); ONE
-    numpy pass per PARTITION encodes every block of every group in it —
+    partitioned by (term_id, salt) and sorted by (term_id, salt, doc_id);
+    ONE numpy pass per PARTITION encodes every block of every group in it —
     the delta pass, both varbyte width/scatter passes, and the reduceat
     block maxima all amortize across thousands of groups at once.
+
+    The input carries term_id (xxhash64 of the term, collision-checked
+    against the dictionary — see build_index) instead of the term string,
+    and int32 tf/df: Arrow serialization of the posting rows was ~half of
+    stage-C wall time (measured 25 s of 46 s at local[16] on 2.8M turns),
+    and the term strings were most of those bytes. The string and the
+    bucket are re-attached JVM-side to the ~n/block_size OUTPUT rows via a
+    broadcast dictionary join (_attach_terms) — nothing wide crosses the
+    Arrow boundary in either direction.
 
     This replaces a per-(term, salt)-group applyInPandas: with ~2k lemma
     groups per part, per-group pandas overhead (sort_values, frame
@@ -261,8 +270,7 @@ def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
         dls = pdf["dl"].to_numpy(np.int64)
         dfs = pdf["df"].to_numpy(np.int64)
         salts = pdf["salt"].to_numpy(np.int64)
-        terms = pdf["term"].to_numpy()
-        buckets = pdf["bucket"].to_numpy()
+        terms = pdf["term_id"].to_numpy()
         n = ids.size
 
         # group boundaries over the (term, salt) sort prefix
@@ -309,7 +317,7 @@ def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
 
         yield pd.DataFrame(
             {
-                "term": terms[starts],
+                "term_id": terms[starts],
                 "block_id": salts[starts] * BLOCKS_PER_SALT_CAP + local_block,
                 "n": (ends - starts).astype(np.int32),
                 "doc_ids": varbyte_encode_sliced(deltas, starts),
@@ -319,12 +327,45 @@ def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
                 "last_doc_id": ids[ends - 1],
                 "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
                 "block_max_score": np.maximum.reduceat(bscores, starts),
-                "bucket": buckets[starts],
             },
-            columns=[f.name for f in schemas.POSTINGS.fields],
         )
 
     return encode
+
+
+def _term_id_col(hash_ids: bool) -> F.Column:
+    """The Arrow-side surrogate for the term string: xxhash64 when the
+    build verified the dictionary is collision-free under it, else the
+    string itself (automatic fallback — same code path, wider rows)."""
+    return F.xxhash64("term") if hash_ids else F.col("term")
+
+
+def prepare_salted(
+    raw_p: DataFrame,
+    term_stats: DataFrame,
+    part_lo: int,
+    part_size: int,
+    salt_budget: int,
+    hash_ids: bool,
+) -> DataFrame:
+    """Staging slice -> slim encode input: broadcast-join df, range-salt
+    hot terms (df > budget -> contiguous doc_id subranges; merge across
+    salts == concatenation), replace the term string with term_id, narrow
+    tf/df to int32. Shared by build_index and compact_index."""
+    joined = raw_p.join(F.broadcast(term_stats.select("term", "df")), "term")
+    n_salts = F.greatest(
+        F.lit(1), F.ceil(F.col("df") / F.lit(salt_budget)).cast("long")
+    )
+    return joined.select(
+        _term_id_col(hash_ids).alias("term_id"),
+        (
+            ((F.col("doc_id") - F.lit(part_lo)) * n_salts) / F.lit(part_size)
+        ).cast("int").alias("salt"),
+        F.col("doc_id"),
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl"),
+        F.col("df").cast("int").alias("df"),
+    )
 
 
 def encode_salted(
@@ -334,21 +375,64 @@ def encode_salted(
     avgdl: float,
     block_size: int,
 ) -> DataFrame:
-    """Shuffle ``salted`` (term, salt, doc_id, tf, dl, df, bucket rows) into
-    (term, salt)-hashed, (term, salt, doc_id)-sorted partitions and encode
-    each partition's posting blocks in one vectorized pass. Partition count
-    follows spark.sql.shuffle.partitions — size it so a partition's rows
-    fit executor memory (same invariant applyInPandas demanded per group,
-    now amortized over many groups)."""
+    """Shuffle ``salted`` (term_id, salt, doc_id, tf, dl, df rows) into
+    (term_id, salt)-hashed, (term_id, salt, doc_id)-sorted partitions and
+    encode each partition's posting blocks in one vectorized pass.
+    Partition count follows spark.sql.shuffle.partitions — size it so a
+    partition's rows fit executor memory (same invariant applyInPandas
+    demanded per group, now amortized over many groups). Output rows are
+    term_id-keyed blocks; _attach_terms restores the string + bucket."""
     n_enc = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    id_type = dict(salted.dtypes)["term_id"]  # bigint | string (fallback)
+    out_schema = T.StructType(
+        [T.StructField("term_id", T.LongType() if id_type == "bigint"
+                       else T.StringType(), False)]
+        + [f for f in schemas.POSTINGS.fields
+           if f.name not in ("term", "bucket")]
+    )
     prepared = (
-        salted.select("term", "salt", "doc_id", "tf", "dl", "df", "bucket")
-        .repartition(n_enc, "term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
+        salted.repartition(n_enc, "term_id", "salt")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
     )
     return prepared.mapInPandas(
-        _make_part_encoder(n_docs, avgdl, block_size), schema=schemas.POSTINGS
+        _make_part_encoder(n_docs, avgdl, block_size), schema=out_schema
     )
+
+
+def _attach_terms(
+    encoded: DataFrame,
+    term_stats: DataFrame,
+    n_buckets: int,
+    hash_ids: bool,
+) -> DataFrame:
+    """Restore (term, bucket) on the encoded BLOCK rows (~n/block_size of
+    the posting rows) via a broadcast dictionary join, then re-sort each
+    partition by (bucket, term, block_id): the dynamic-partition write
+    requires a bucket sort anyway, and doing it explicitly keeps parquet
+    row groups clustered by term so the query path's term-IN and
+    doc_id-range row-group pruning stays sharp."""
+    dict_df = term_stats.select(
+        _term_id_col(hash_ids).alias("term_id"), "term"
+    )
+    return (
+        encoded.join(F.broadcast(dict_df), "term_id")
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+        .select(*[f.name for f in schemas.POSTINGS.fields])
+        .sortWithinPartitions("bucket", "term", "block_id")
+    )
+
+
+def check_hash_ids(term_stats: DataFrame) -> bool:
+    """True iff xxhash64 is injective over this build's dictionary (one
+    small agg over n_terms rows). A collision would silently merge two
+    terms' posting groups, so the slim Arrow path is only taken when the
+    check proves it safe; otherwise term strings ride through (correct,
+    just wider)."""
+    row = term_stats.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.xxhash64("term")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]) == int(row["h"])
 
 
 def build_index(
@@ -662,27 +746,22 @@ def build_index(
     ]
     skipped = actual_parts - len(todo)
 
+    hash_ids = check_hash_ids(term_stats) if todo else True
+
     def _build_part(p: int) -> None:
         t0 = time.time()
         tpart = t0
         part_lo = p * part_size
         raw_p = staging_df.filter(F.col("part_id") == p)
-        joined = raw_p.join(
-            F.broadcast(term_stats.select("term", "df")), "term"
+        salted = prepare_salted(
+            raw_p, term_stats, part_lo, part_size, salt_budget, hash_ids
         )
-        # range-salting: hot terms (df > budget) split into contiguous
-        # doc_id subranges; merge across salts == concatenation.
-        n_salts = F.greatest(
-            F.lit(1), F.ceil(F.col("df") / F.lit(salt_budget)).cast("long")
+        encoded = _attach_terms(
+            encode_salted(salted, spark, n_docs, avgdl, block_size),
+            term_stats,
+            n_buckets,
+            hash_ids,
         )
-        salted = joined.withColumn(
-            "salt",
-            (
-                ((F.col("doc_id") - F.lit(part_lo)) * n_salts)
-                / F.lit(part_size)
-            ).cast("int"),
-        ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-        encoded = encode_salted(salted, spark, n_docs, avgdl, block_size)
         part_dir = f"{postings_path}/part_id={p}"
         # lineage metrics piggy-back on the write action (Observation) —
         # no second pass over the encoded part

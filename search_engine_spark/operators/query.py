@@ -90,6 +90,19 @@ class SearchEngine:
             # with no postings dir means a crashed compaction swap
             # (postings renamed away, replacement not renamed in) — that
             # must stay loud, never become silently-zero results.
+            # UNABLE_TO_INFER_SCHEMA = the postings dir EXISTS with part
+            # dirs but zero data files: the committed shape of a build
+            # whose every document analyzed to zero terms (non-blank but
+            # symbol-only text — hygiene keeps the docs, the analyzer
+            # emits nothing, and writing an empty partitioned frame
+            # produces no files). That index is valid; queries are empty.
+            if "UNABLE_TO_INFER_SCHEMA" in str(ex):
+                self.postings = spark.createDataFrame(
+                    [], schema=schemas.POSTINGS
+                )
+                self.documents = spark.read.parquet(f"{index_dir}/documents")
+                self._init_caches()
+                return
             if "PATH_NOT_FOUND" not in str(ex):
                 raise
             if self.n_docs > 0:
@@ -101,6 +114,9 @@ class SearchEngine:
                 ) from ex
             self.postings = spark.createDataFrame([], schema=schemas.POSTINGS)
         self.documents = spark.read.parquet(f"{index_dir}/documents")
+        self._init_caches()
+
+    def _init_caches(self) -> None:
         # A SearchEngine is a SNAPSHOT view of an immutable index (it
         # already pins corpus_stats at construction), so per-term
         # dictionary rows and block ranges can be memoized — repeated or

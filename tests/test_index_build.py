@@ -121,6 +121,39 @@ def test_empty_corpus_build_and_search(spark, tmp_path):
     assert eng.search_ids("anything", k=5).count() == 0
 
 
+def test_zero_term_corpus_build_and_search(spark, tmp_path):
+    """Docs that are non-blank but analyze to ZERO terms (symbol-only
+    text): hygiene keeps them, so n_docs > 0, yet no posting row exists —
+    the postings tree has part dirs with no data files. The engine must
+    treat that committed-but-postingless index as valid (empty results),
+    NOT as the crashed-compaction missing-dir state, which stays loud."""
+    import datetime
+
+    import pandas as pd
+
+    from search_engine_spark.operators.query import SearchEngine
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user"] * 3,
+            "text": ["!!!", "???", "...---..."],
+            "tool": [None] * 3,
+            "ts": [datetime.datetime(2025, 1, 1)] * 3,
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    out = str(tmp_path / "idx_zeroterm")
+    res = build_index(spark, spark.createDataFrame(pdf), out, n_parts=2,
+                      resume=False)
+    assert res.n_docs == 3
+    assert res.postings_blocks == 0
+    eng = SearchEngine(spark, out)
+    assert eng.search_ids("anything", k=5).count() == 0
+    assert eng.search("anything", k=5).count() == 0
+
+
 def test_broadcast_offsets_path_identical(spark, transcripts_df, tmp_path,
                                           monkeypatch):
     """Forcing the large-partition-count code path (broadcast-joined

@@ -38,7 +38,9 @@ def steal_pct(interval: float = 10.0) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="--scale-one")
+    # accepts "scale-one" or "--scale-one" (argparse rejects values that
+    # start with a dash in the space-separated form)
+    ap.add_argument("--mode", default="scale-one")
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--convs", type=int, default=35000)
     ap.add_argument("--attempts", type=int, default=6)
@@ -68,8 +70,9 @@ def main() -> None:
             )
             time.sleep(20)
             waited += 20
+        mode = args.mode if args.mode.startswith("--") else f"--{args.mode}"
         out = subprocess.run(
-            [sys.executable, str(REPO / "bench.py"), args.mode, str(args.cpus)],
+            [sys.executable, str(REPO / "bench.py"), mode, str(args.cpus)],
             capture_output=True,
             text=True,
             env=env,
