@@ -378,11 +378,17 @@ def encode_salted(
     """Shuffle ``salted`` (term_id, salt, doc_id, tf, dl, df rows) into
     (term_id, salt)-hashed, (term_id, salt, doc_id)-sorted partitions and
     encode each partition's posting blocks in one vectorized pass.
-    Partition count follows spark.sql.shuffle.partitions — size it so a
-    partition's rows fit executor memory (same invariant applyInPandas
-    demanded per group, now amortized over many groups). Output rows are
-    term_id-keyed blocks; _attach_terms restores the string + bucket."""
-    n_enc = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    Partition count is 3x spark.sql.shuffle.partitions: the encode stage is
+    the longest map stage in the build and a 1-partition-per-core layout
+    leaves the tail of the stage running on a handful of cores whenever the
+    (term_id, salt) hash deals uneven partitions (measured: 3x partitions
+    cut the stage 31% at 16 cores, /tmp/ab_nenc.log best-of-3 35.9s vs
+    51.8s). Finer tasks also keep each pandas batch smaller — size
+    shuffle.partitions so a partition's rows fit executor memory (same
+    invariant applyInPandas demanded per group, now amortized over many
+    groups). Output rows are term_id-keyed blocks; _attach_terms restores
+    the string + bucket."""
+    n_enc = 3 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     id_type = dict(salted.dtypes)["term_id"]  # bigint | string (fallback)
     out_schema = T.StructType(
         [T.StructField("term_id", T.LongType() if id_type == "bigint"
