@@ -407,6 +407,55 @@ def _scaling_query(cpus: int) -> dict:
     }
 
 
+BATCH_TOTAL = 64  # distinct queries scored in ONE job by search_many
+
+
+def _scaling_query_batch(cpus: int) -> dict:
+    """Batched query throughput at local[cpus]: BATCH_TOTAL distinct
+    queries scored in ONE Spark job via SearchEngine.search_many over the
+    same prebuilt index as _scaling_query. The sequential path is
+    latency-bound (driver round-trips per query — it measures latency
+    hiding, not capacity); the batch path is the throughput shape an
+    offline workload actually uses, and the axis that scales with
+    executors."""
+    from itertools import combinations
+
+    spark = get_spark(
+        app_name=f"qbatch{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": f"{SCALE_DIR}/sparktmp"},
+    )
+    idx = f"{SCALE_DIR}/idx_q"
+    transcripts = spark.read.parquet(SCALE_CORPUS)
+    build_index(spark, transcripts, idx, n_parts=2, resume=True)
+    eng = SearchEngine(spark, idx)
+    vocab = [
+        "query", "index", "token", "batch", "merge", "shard",
+        "filter", "join", "table", "spark", "stream", "build",
+    ]
+    combos = list(combinations(vocab, 2)) + list(combinations(vocab, 3))
+    workload = {
+        f"q{i}": " ".join(c) for i, c in enumerate(combos[:BATCH_TOTAL])
+    }
+    # warm: plans, python workers, dictionary cache
+    eng.search_many(dict(list(workload.items())[:4]), k=10).collect()
+    s0 = _read_proc_stat()
+    t0 = time.time()
+    n_rows = len(eng.search_many(workload, k=10).collect())
+    wall = time.time() - t0
+    s1 = _read_proc_stat()
+    spark.stop()
+    return {
+        "cores": cpus,
+        "queries": len(workload),
+        "wall_sec": round(wall, 2),
+        "qps": round(len(workload) / wall, 2),
+        "rows": n_rows,
+        "steal_sec": round((s1[7] - s0[7]) / 100.0, 1),
+    }
+
+
 def _probe_mp(nproc: int) -> float:
     """Spark-free control: the analyzer hot loop (analyze_series) over the
     scaling corpus's text column in a plain multiprocessing pool. This is
@@ -893,6 +942,8 @@ def main() -> None:
                     help="Spark-free stage-C encode-kernel probe, N procs")
     ap.add_argument("--scale-query-one", type=int, default=None,
                     help="concurrent query-throughput measurement at local[N]")
+    ap.add_argument("--scale-query-batch", type=int, default=None,
+                    help="batched (search_many) query throughput at local[N]")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
@@ -918,6 +969,9 @@ def main() -> None:
     elif args.scale_query_one is not None:
         _ensure_scaling_corpus()
         print(json.dumps(_scaling_query(args.scale_query_one)))
+    elif args.scale_query_batch is not None:
+        _ensure_scaling_corpus()
+        print(json.dumps(_scaling_query_batch(args.scale_query_batch)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

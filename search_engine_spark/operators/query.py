@@ -408,6 +408,168 @@ class SearchEngine:
         return topk
 
     # ------------------------------------------------------------------
+    def search_many(
+        self,
+        queries: dict[str, str] | list[str],
+        k: int = 10,
+        mode: str = "bm25",
+        conjunctive: bool = True,
+    ) -> DataFrame:
+        """Batch top-k: score MANY queries in ONE Spark job, returning
+        (query_id, doc_id, score). The sequential read path is
+        latency-bound — each ``search`` is a few driver-coordinated jobs
+        with ~0.5 s of fixed cost — so an offline query workload (eval
+        suites, relevance regressions, query-log replays over a 100 TB
+        index) should be scored in bulk: one scan covers the union
+        vocabulary, every posting block is decoded ONCE and fanned out to
+        all subscribing queries, and the per-query fixed cost disappears;
+        throughput then scales with executors instead of round-trips.
+
+        Per query the result is bit-identical to ``search_ids``:
+        per-(doc, term) partials are query-independent, accumulation is
+        the same left-to-right df-ascending COALESCE chain (orders a
+        shorter query never emits coalesce to +0.0, an IEEE no-op on the
+        positive partials), conjunctive presence is enforced per query,
+        and top-k uses the same (score DESC, doc_id ASC) tie-break.
+        Queries that are empty after analysis, or conjunctive queries
+        with a dictionary-missing term, contribute zero rows (the
+        ``search_ids`` empty-result contract). Rarest-term block-range
+        pruning is intentionally skipped — it would serialize the batch
+        behind per-query driver collects; the conjunctive presence filter
+        alone is what makes it lossless, so results are unchanged."""
+        if not isinstance(queries, dict):
+            queries = {f"q{i}": q for i, q in enumerate(queries)}
+        out_schema = "query_id string, doc_id long, score double"
+        # ONE dictionary lookup for the union vocabulary (then the
+        # per-query lookup_terms calls below are pure cache hits)
+        union_terms = sorted(
+            {t for q in queries.values() for t in analyze_text(q)}
+        )
+        uncached = [t for t in union_terms if t not in self._df_cache]
+        if uncached:
+            rows = (
+                self.term_stats.filter(F.col("term").isin(uncached))
+                .select("term", "df")
+                .collect()
+            )
+            hit = {r["term"]: int(r["df"]) for r in rows}
+            for t in uncached:
+                self._df_cache[t] = hit.get(t)
+        per_q: dict[str, list[TermInfo]] = {}
+        for qid, qtext in queries.items():
+            infos, n_missing = self.lookup_terms(qtext)
+            if not infos or (conjunctive and n_missing):
+                continue
+            per_q[qid] = infos
+        if not per_q:
+            return self.spark.createDataFrame([], schema=out_schema)
+        # query ids travel the hot path as dense int32 — a string id on
+        # every partial row is pure Arrow/shuffle weight (the partials
+        # frame is |queries| x df-sized); the string comes back via a
+        # broadcast join on the k-bounded result
+        qid_idx = {qid: i for i, qid in enumerate(per_q)}
+        # term -> [(qid_idx, order, idf)] subscriber lists
+        subs: dict[str, list[tuple[int, int, float]]] = {}
+        for qid, infos in per_q.items():
+            for ti in infos:
+                subs.setdefault(ti.term, []).append(
+                    (qid_idx[qid], ti.order, self._idf(ti.df))
+                )
+        terms = sorted(subs)
+        max_n = max(len(infos) for infos in per_q.values())
+        avgdl, max_tf_sum = self.avgdl, self.max_tf_sum
+
+        from ..functions.spark_hash import spark_bucket
+
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
+        blocks = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select("term", "doc_ids", "tfs", "dls")
+
+        part_schema = T.StructType(
+            [
+                T.StructField("qi", T.IntegerType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("order", T.IntegerType(), False),
+                T.StructField("s", T.DoubleType(), False),
+            ]
+        )
+
+        def decode_score_many(batches):
+            from ..functions.codec import varbyte_decode
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qi_a, doc_a, ord_a, s_a = [], [], [], []
+                for term, ids_buf, tfs_buf, dls_buf in zip(
+                    pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]
+                ):
+                    ids, tfs = decode_postings(bytes(ids_buf), bytes(tfs_buf))
+                    if ids.size == 0:
+                        continue
+                    if mode == "bm25":
+                        dls = varbyte_decode(bytes(dls_buf)).astype(np.float64)
+                        numer = tfs * (K1 + 1)
+                        denom = tfs + K1 * (1 - B + B * dls / avgdl)
+                    for qi, order, idf in subs[term]:
+                        if mode == "bm25":
+                            # literal operation order of the single-query
+                            # path: (idf * numer) / denom — NOT
+                            # idf * (numer / denom), which differs by an ulp
+                            s = idf * numer / denom
+                        else:  # relevance_ref
+                            s = tfs / max_tf_sum
+                        n = ids.size
+                        qi_a.append(np.full(n, qi, dtype=np.int32))
+                        doc_a.append(ids)
+                        ord_a.append(np.full(n, order, dtype=np.int32))
+                        s_a.append(s)
+                if qi_a:
+                    yield pd.DataFrame(
+                        {
+                            "qi": np.concatenate(qi_a),
+                            "doc_id": np.concatenate(doc_a),
+                            "order": np.concatenate(ord_a),
+                            "s": np.concatenate(s_a),
+                        }
+                    )
+
+        partials = blocks.mapInPandas(decode_score_many, schema=part_schema)
+        pivoted = (
+            partials.groupBy("qi", "doc_id")
+            .pivot("order", list(range(max_n)))
+            .agg(F.first("s"))
+        )
+        score = F.lit(0.0)
+        for o in range(max_n):
+            score = score + F.coalesce(F.col(f"`{o}`"), F.lit(0.0))
+        scored = pivoted.withColumn("score", score)
+        names = self.spark.createDataFrame(
+            [(i, qid, len(per_q[qid])) for qid, i in qid_idx.items()],
+            schema="qi int, query_id string, n_terms int",
+        )
+        if conjunctive:
+            n_present = sum(
+                F.col(f"`{o}`").isNotNull().cast("int") for o in range(max_n)
+            )
+            scored = (
+                scored.withColumn("_np", n_present)
+                .join(F.broadcast(names.select("qi", "n_terms")), "qi")
+                .filter(F.col("_np") == F.col("n_terms"))
+            )
+        # per-query top-k: row_number <= k compiles to WindowGroupLimit
+        # (partial top-k BEFORE the qi shuffle), so no query group ever
+        # sorts its full candidate set through the exchange
+        w = Window.partitionBy("qi").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .join(F.broadcast(names.select("qi", "query_id")), "qi")
+            .select("query_id", "doc_id", "score")
+        )
+
+    # ------------------------------------------------------------------
     def search(
         self,
         query: str,

@@ -93,3 +93,51 @@ def test_statistics(engine):
     stats = engine.statistics().toPandas()
     assert stats["n_docs"].sum() == engine.n_docs
     assert set(stats["role"]) <= {"user", "assistant", "system", "tool"}
+
+
+def test_search_many_matches_sequential(engine):
+    """Batching must be bit-invisible: search_many over a mixed-width
+    workload (3/2/1-term, shared vocabulary, a dictionary-missing term,
+    an analyzes-to-nothing query) returns exactly each query's
+    search_ids rows — same doc_ids, bit-equal float scores."""
+    workload = {
+        "multi": "query index merge",
+        "pair": "token batch",
+        "single": "spark",
+        "missing": "token zzznope",  # conjunctive + absent term -> empty
+        "blank": "🚀 ...",           # analyzer emits nothing -> empty
+    }
+    got = engine.search_many(workload, k=7).toPandas()
+    assert list(got.columns) == ["query_id", "doc_id", "score"]
+    for qid, q in workload.items():
+        part = (
+            got[got["query_id"] == qid]
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+        )
+        exp = engine.search_ids(q, k=7).toPandas()
+        assert part["doc_id"].tolist() == exp["doc_id"].tolist(), qid
+        assert part["score"].tolist() == exp["score"].tolist(), qid
+    assert (got["query_id"] == "missing").sum() == 0
+    assert (got["query_id"] == "blank").sum() == 0
+
+
+def test_search_many_disjunctive_and_modes(engine):
+    for mode in ["bm25", "relevance_ref"]:
+        got = (
+            engine.search_many(
+                {"x": "dup spark token"}, k=6, mode=mode, conjunctive=False
+            )
+            .toPandas()
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+        )
+        exp = engine.search_ids(
+            "dup spark token", k=6, mode=mode, conjunctive=False
+        ).toPandas()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), mode
+        assert got["score"].tolist() == exp["score"].tolist(), mode
+    # an all-empty workload returns an empty frame with the right schema
+    empty = engine.search_many(["zzznope"], k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "doc_id", "score",
+    ]
