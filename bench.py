@@ -83,6 +83,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "engine_snippets": lambda: len(
             eng.search(" ".join(EQ.QUERY_TERMS), k=10).collect()
         ),
+        "engine_batch_3q": lambda: len(
+            eng.search_many(
+                {q: " ".join(ts) for q, ts in EQ.BATCH_QUERIES.items()},
+                k=10,
+            ).collect()
+        ),
         "bm25_dataframe_native": lambda: len(
             EQ.q_bm25_topk(spark, sf_dir).collect()
         ),

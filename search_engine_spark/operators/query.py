@@ -174,6 +174,19 @@ class SearchEngine:
     PRUNE_MAX_RARE_BLOCKS = 4096   # skip pruning when the rarest term is hot
     PRUNE_MAX_FILTER_RANGES = 64   # OR-chain size Catalyst handles happily
 
+    @staticmethod
+    def _merge_spans(
+        spans: list[tuple[int, int]]
+    ) -> list[tuple[int, int]]:
+        spans = sorted(spans)
+        merged = [spans[0]]
+        for lo, hi in spans[1:]:
+            if lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return merged
+
     def _rare_term_ranges(self, rare: TermInfo) -> list[tuple[int, int]] | None:
         if rare.term in self._ranges_cache:
             return self._ranges_cache[rare.term]
@@ -186,15 +199,51 @@ class SearchEngine:
         if not rows or len(rows) > self.PRUNE_MAX_RARE_BLOCKS:
             self._ranges_cache[rare.term] = None
             return None
-        spans = sorted((int(r["first_doc_id"]), int(r["last_doc_id"])) for r in rows)
-        merged = [spans[0]]
-        for lo, hi in spans[1:]:
-            if lo <= merged[-1][1] + 1:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
-            else:
-                merged.append((lo, hi))
+        merged = self._merge_spans(
+            [(int(r["first_doc_id"]), int(r["last_doc_id"])) for r in rows]
+        )
         self._ranges_cache[rare.term] = merged
         return merged
+
+    def _collect_ranges_bulk(self, terms: list[str]) -> None:
+        """Fill _ranges_cache for MANY rarest terms in two driver jobs
+        total (a per-term count, then one ranges fetch for the terms under
+        the block cap) — the batch analog of _rare_term_ranges, so a
+        whole search_many workload pays O(1) collects instead of one per
+        query. Hot terms (> PRUNE_MAX_RARE_BLOCKS blocks) memoize as None
+        (no pruning), exactly like the single-query path."""
+        from ..functions.spark_hash import spark_bucket
+
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
+        scoped = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        n_by_term = {
+            r["term"]: int(r["n"])
+            for r in scoped.groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for t in terms:  # default: hot (or absent) -> no pruning
+            self._ranges_cache[t] = None
+        small = [
+            t
+            for t in terms
+            if 0 < n_by_term.get(t, 0) <= self.PRUNE_MAX_RARE_BLOCKS
+        ]
+        if not small:
+            return
+        spans: dict[str, list[tuple[int, int]]] = {}
+        for r in (
+            scoped.filter(F.col("term").isin(small))
+            .select("term", "first_doc_id", "last_doc_id")
+            .collect()
+        ):
+            spans.setdefault(r["term"], []).append(
+                (int(r["first_doc_id"]), int(r["last_doc_id"]))
+            )
+        for t, sp in spans.items():
+            self._ranges_cache[t] = self._merge_spans(sp)
 
     def _scope_range(self, scope: str) -> tuple[int, int] | None:
         """P4 site-scope → doc_id range (SearchServiceImpl.java:105-114).
@@ -434,9 +483,14 @@ class SearchEngine:
         Queries that are empty after analysis, or conjunctive queries
         with a dictionary-missing term, contribute zero rows (the
         ``search_ids`` empty-result contract). Rarest-term block-range
-        pruning is intentionally skipped — it would serialize the batch
-        behind per-query driver collects; the conjunctive presence filter
-        alone is what makes it lossless, so results are unchanged."""
+        pruning carries over from the single-query path, amortized:
+        ALL queries' rarest-term ranges are fetched in two driver jobs
+        (_collect_ranges_bulk, memoized per engine snapshot), decoded
+        doc_ids are masked per subscribing query before the shuffle, and
+        a coarse union-of-ranges filter is pushed into the parquet scan.
+        The masking is lossless under each query's conjunctive presence
+        filter, so results are unchanged — it only keeps pruned docs out
+        of the exchange."""
         if not isinstance(queries, dict):
             queries = {f"q{i}": q for i, q in enumerate(queries)}
         out_schema = "query_id string, doc_id long, score double"
@@ -468,6 +522,30 @@ class SearchEngine:
         # frame is |queries| x df-sized); the string comes back via a
         # broadcast join on the k-bounded result
         qid_idx = {qid: i for i, qid in enumerate(per_q)}
+        # rarest-term doc_id ranges per query (conjunctive, multi-term
+        # only — same rule as search_ids), fetched for the WHOLE workload
+        # in two driver jobs and memoized
+        q_ranges: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if conjunctive:
+            rare_uncached = sorted(
+                {
+                    infos[0].term
+                    for infos in per_q.values()
+                    if len(infos) > 1
+                    and infos[0].term not in self._ranges_cache
+                }
+            )
+            if rare_uncached:
+                self._collect_ranges_bulk(rare_uncached)
+            for qid, infos in per_q.items():
+                if len(infos) <= 1:
+                    continue
+                merged = self._ranges_cache.get(infos[0].term)
+                if merged:
+                    q_ranges[qid_idx[qid]] = (
+                        np.array([r[0] for r in merged], dtype=np.int64),
+                        np.array([r[1] for r in merged], dtype=np.int64),
+                    )
         # term -> [(qid_idx, order, idf)] subscriber lists
         subs: dict[str, list[tuple[int, int, float]]] = {}
         for qid, infos in per_q.items():
@@ -484,7 +562,37 @@ class SearchEngine:
         buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
         blocks = self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        ).select("term", "doc_ids", "tfs", "dls")
+        )
+        # coarse scan filter: a block can be skipped only if EVERY query
+        # that subscribes to its term prunes it — so the pushed predicate
+        # is (term in unpruned-subscriber terms) OR (overlaps any range).
+        # Catalyst turns the range OR into parquet row-group min/max skips.
+        unpruned_terms = sorted(
+            {
+                ti.term
+                for qid, infos in per_q.items()
+                if qid_idx[qid] not in q_ranges
+                for ti in infos
+            }
+        )
+        all_ranges = sorted(
+            {
+                (int(lo), int(hi))
+                for lo_a, hi_a in q_ranges.values()
+                for lo, hi in zip(lo_a, hi_a)
+            }
+        )
+        if q_ranges and len(all_ranges) <= self.PRUNE_MAX_FILTER_RANGES:
+            overlap = None
+            for lo, hi in all_ranges:
+                c = (F.col("first_doc_id") <= hi) & (
+                    F.col("last_doc_id") >= lo
+                )
+                overlap = c if overlap is None else (overlap | c)
+            if unpruned_terms:
+                overlap = F.col("term").isin(unpruned_terms) | overlap
+            blocks = blocks.filter(overlap)
+        blocks = blocks.select("term", "doc_ids", "tfs", "dls")
 
         part_schema = T.StructType(
             [
@@ -520,9 +628,28 @@ class SearchEngine:
                             s = idf * numer / denom
                         else:  # relevance_ref
                             s = tfs / max_tf_sum
-                        n = ids.size
+                        sub_ids = ids
+                        rng = q_ranges.get(qi)
+                        if rng is not None:
+                            # mask to THIS query's rarest-term ranges
+                            # (lossless under its conjunctive filter) so
+                            # pruned docs never enter the shuffle
+                            lo_arr, hi_arr = rng
+                            pos = (
+                                np.searchsorted(lo_arr, ids, side="right")
+                                - 1
+                            )
+                            keep = (pos >= 0) & (
+                                ids <= hi_arr[np.clip(pos, 0, None)]
+                            )
+                            if not keep.all():
+                                sub_ids = ids[keep]
+                                s = s[keep]
+                        n = sub_ids.size
+                        if n == 0:
+                            continue
                         qi_a.append(np.full(n, qi, dtype=np.int32))
-                        doc_a.append(ids)
+                        doc_a.append(sub_ids)
                         ord_a.append(np.full(n, order, dtype=np.int32))
                         s_a.append(s)
                 if qi_a:

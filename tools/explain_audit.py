@@ -21,7 +21,7 @@ KEYS = (
     "PartitionFilters", "PushedFilters", "ReadSchema", "TakeOrderedAndProject",
     "BroadcastHashJoin", "SortMergeJoin", "Exchange", "HashAggregate",
     "WholeStageCodegen", "FlatMapGroupsInPandas", "MapInPandas",
-    "ArrowEvalPython",
+    "ArrowEvalPython", "WindowGroupLimit", "Window",
 )
 
 
@@ -48,6 +48,9 @@ def main() -> None:
          eng.search_ids(" ".join(EQ.RARE_QUERY_TERMS), k=10))
     show("presentation join (broadcast ids ⋈ documents)",
          eng.search(" ".join(EQ.QUERY_TERMS), k=10))
+    show("batched multi-query search (WindowGroupLimit top-k per query)",
+         eng.search_many({q: " ".join(t) for q, t in
+                          EQ.BATCH_QUERIES.items()}, k=10))
     show("dataframe-native BM25", EQ.q_bm25_topk(spark, sf_dir))
     show("LSH candidate pairs", EQ.q_lsh_pairs(spark, sf_dir))
     show("cosine top-k", EQ.q_cosine_topk(spark, sf_dir))
