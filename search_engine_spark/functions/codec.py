@@ -148,3 +148,71 @@ def decode_postings(doc_ids_buf: bytes, tfs_buf: bytes) -> tuple[np.ndarray, np.
         delta_decode(varbyte_decode(doc_ids_buf)).astype(np.int64),
         varbyte_decode(tfs_buf).astype(np.int64),
     )
+
+
+def varbyte_decode_groups(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY VByte buffers in ONE vectorized pass.
+
+    VByte is self-delimiting (high bit = continuation), so the
+    concatenation of buffers decodes to the concatenation of their
+    values; per-buffer value counts are recovered by counting terminator
+    bytes inside each buffer's byte range. Returns
+    ``(values_concat uint64, counts_per_buffer int64)``. This is what
+    makes block decode cheap when a scan partition holds tens of
+    thousands of small blocks: the bit-twiddling passes run once over
+    the group, not once per block.
+    """
+    lens = np.fromiter(
+        (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+    )
+    cat = b"".join(bufs)
+    b = np.frombuffer(cat, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(
+            len(bufs), dtype=np.int64
+        )
+    is_last = (b & 0x80) == 0
+    term_cum = np.concatenate(([0], np.cumsum(is_last)))
+    ends = np.cumsum(lens)
+    counts = term_cum[ends] - term_cum[ends - lens]
+    value_idx = term_cum[:-1]
+    n_values = int(term_cum[-1])
+    value_starts = np.concatenate(([0], np.nonzero(is_last)[0] + 1))[:-1]
+    byte_pos = np.arange(b.size) - value_starts[value_idx]
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(
+        out,
+        value_idx,
+        (b & np.uint8(0x7F)).astype(np.uint64)
+        << (7 * byte_pos).astype(np.uint64),
+    )
+    return out, counts
+
+
+def decode_postings_grouped(
+    ids_bufs, tfs_bufs
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Grouped inverse of ``encode_postings`` over MANY blocks at once:
+    -> (doc_ids int64 concat, tfs int64 concat, counts per block).
+
+    Each block's ids stream is [first_absolute, gap, gap, ...], so after
+    one grouped VByte decode the absolutes come back via a segmented
+    cumsum: subtract, per block, the running sum accumulated BEFORE the
+    block (base = S[start] - first), all in numpy. Bit-identical to
+    concatenating per-block ``decode_postings`` results.
+    """
+    gaps, n = varbyte_decode_groups(ids_bufs)
+    tfs, _ = varbyte_decode_groups(tfs_bufs)
+    if gaps.size == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            n,
+        )
+    s = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    nz = n > 0
+    base = np.zeros(n.size, dtype=np.uint64)
+    base[nz] = s[starts[nz]] - gaps[starts[nz]]
+    ids = (s - np.repeat(base, n)).astype(np.int64)
+    return ids, tfs.astype(np.int64), n

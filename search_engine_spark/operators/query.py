@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.analyzer import analyze_text
-from ..functions.codec import decode_postings
+
 from .. import schemas
 from ..functions.snippet import make_snippet
 from .index_build import K1, B
@@ -335,15 +335,32 @@ class SearchEngine:
         )
 
         def decode_score(batches):
+            # grouped decode: all of a term's blocks in the batch go
+            # through ONE vectorized codec pass (VByte buffers
+            # concatenate; codec.decode_postings_grouped) instead of a
+            # per-block Python loop
+            from ..functions.codec import (
+                decode_postings_grouped,
+                varbyte_decode_groups,
+            )
+
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 outs = []
-                for term, ids_buf, tfs_buf, dls_buf in zip(
-                    pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]
-                ):
+                ids_col = pdf["doc_ids"].to_numpy()
+                tfs_col = pdf["tfs"].to_numpy()
+                dls_col = pdf["dls"].to_numpy()
+                for term, rows in pdf.groupby(
+                    "term", sort=False
+                ).indices.items():
                     order, idf = params[term]
-                    ids, tfs = decode_postings(bytes(ids_buf), bytes(tfs_buf))
+                    ids, tfs, _ = decode_postings_grouped(
+                        list(ids_col[rows]), list(tfs_col[rows])
+                    )
+                    if mode == "bm25":
+                        dls, _ = varbyte_decode_groups(list(dls_col[rows]))
+                        dls = dls.astype(np.float64)
                     if lo_arr is not None:
                         # mask to rarest-term ranges (lossless under
                         # conjunction) so pruned docs never hit the shuffle
@@ -351,19 +368,11 @@ class SearchEngine:
                         keep = (pos >= 0) & (ids <= hi_arr[np.clip(pos, 0, None)])
                         if not keep.all():
                             ids, tfs = ids[keep], tfs[keep]
-                            dls_keep = keep
-                        else:
-                            dls_keep = None
-                    else:
-                        dls_keep = None
+                            if mode == "bm25":
+                                dls = dls[keep]
                     if ids.size == 0:
                         continue
                     if mode == "bm25":
-                        from ..functions.codec import varbyte_decode
-
-                        dls = varbyte_decode(bytes(dls_buf)).astype(np.float64)
-                        if dls_keep is not None:
-                            dls = dls[dls_keep]
                         denom = tfs + K1 * (1 - B + B * dls / avgdl)
                         s = idf * (tfs * (K1 + 1)) / denom
                     else:  # relevance_ref (IndexRepository.java:14-20)
@@ -486,11 +495,27 @@ class SearchEngine:
         pruning carries over from the single-query path, amortized:
         ALL queries' rarest-term ranges are fetched in two driver jobs
         (_collect_ranges_bulk, memoized per engine snapshot), decoded
-        doc_ids are masked per subscribing query before the shuffle, and
-        a coarse union-of-ranges filter is pushed into the parquet scan.
-        The masking is lossless under each query's conjunctive presence
-        filter, so results are unchanged — it only keeps pruned docs out
-        of the exchange."""
+        doc_ids are masked per TERM before the shuffle (a (term, doc)
+        row is dropped only when EVERY subscribing query prunes that
+        doc — lossless, since such a doc lacks each subscriber's rarest
+        term and fails their conjunctive filters regardless), and a
+        coarse union-of-ranges filter is pushed into the parquet scan.
+
+        Exchange volume is per-TERM and PACKED, not per-subscription:
+        BM25/relevance partials are query-independent, so each (term,
+        doc) posting crosses the exchange exactly ONCE no matter how
+        many queries share the term — and it crosses as a delta-varbyte
+        slice keyed by doc-range bucket (~4-6 bytes/posting), re-encoded
+        vectorized in the decode stage, never as a row. The scoring
+        stage decodes each bucket straight into dense (docs x terms)
+        numpy arrays (doc -> row is arithmetic on the bucket layout — no
+        sort/unique over postings), evaluates every query's score as a
+        left-to-right sum of its df-ascending term columns, applies the
+        conjunctive/disjunctive presence mask, and emits per-partition
+        top-k (argpartition + tie-safe (score DESC, doc_id ASC)
+        lexsort) — k-bounded rows per (query, partition). The final
+        combine is a row_number window over |queries| x partitions x k
+        rows that compiles to WindowGroupLimit."""
         if not isinstance(queries, dict):
             queries = {f"q{i}": q for i, q in enumerate(queries)}
         out_schema = "query_id string, doc_id long, score double"
@@ -546,15 +571,41 @@ class SearchEngine:
                         np.array([r[0] for r in merged], dtype=np.int64),
                         np.array([r[1] for r in merged], dtype=np.int64),
                     )
-        # term -> [(qid_idx, order, idf)] subscriber lists
-        subs: dict[str, list[tuple[int, int, float]]] = {}
+        # term -> [qid_idx] subscriber lists (partials are query-
+        # independent; subscribers matter only for the pruning union)
+        subs: dict[str, list[int]] = {}
         for qid, infos in per_q.items():
             for ti in infos:
-                subs.setdefault(ti.term, []).append(
-                    (qid_idx[qid], ti.order, self._idf(ti.df))
-                )
+                subs.setdefault(ti.term, []).append(qid_idx[qid])
         terms = sorted(subs)
-        max_n = max(len(infos) for infos in per_q.values())
+        term_ti = {t: i for i, t in enumerate(terms)}
+        term_idf = {
+            ti.term: self._idf(ti.df)
+            for infos in per_q.values()
+            for ti in infos
+        }
+        # per-term union mask: a (term, doc) partial may be dropped pre-
+        # shuffle only if EVERY query subscribing to the term prunes the
+        # doc (doc outside that query's rarest-term ranges -> the doc
+        # lacks the query's rarest term -> its conjunctive filter rejects
+        # the doc whether or not this partial exists). Any unpruned
+        # subscriber (single-term query, hot rarest term, disjunctive
+        # mode) disables the term's mask entirely.
+        term_ranges: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for t, sub_qis in subs.items():
+            if all(qi in q_ranges for qi in sub_qis):
+                spans = sorted(
+                    {
+                        (int(lo), int(hi))
+                        for qi in sub_qis
+                        for lo, hi in zip(*q_ranges[qi])
+                    }
+                )
+                merged = self._merge_spans(spans)
+                term_ranges[term_ti[t]] = (
+                    np.array([r[0] for r in merged], dtype=np.int64),
+                    np.array([r[1] for r in merged], dtype=np.int64),
+                )
         avgdl, max_tf_sum = self.avgdl, self.max_tf_sum
 
         from ..functions.spark_hash import spark_bucket
@@ -565,24 +616,19 @@ class SearchEngine:
         )
         # coarse scan filter: a block can be skipped only if EVERY query
         # that subscribes to its term prunes it — so the pushed predicate
-        # is (term in unpruned-subscriber terms) OR (overlaps any range).
+        # is (term has an unpruned subscriber) OR (overlaps any range).
         # Catalyst turns the range OR into parquet row-group min/max skips.
         unpruned_terms = sorted(
-            {
-                ti.term
-                for qid, infos in per_q.items()
-                if qid_idx[qid] not in q_ranges
-                for ti in infos
-            }
+            t for t in terms if term_ti[t] not in term_ranges
         )
         all_ranges = sorted(
             {
                 (int(lo), int(hi))
-                for lo_a, hi_a in q_ranges.values()
+                for lo_a, hi_a in term_ranges.values()
                 for lo, hi in zip(lo_a, hi_a)
             }
         )
-        if q_ranges and len(all_ranges) <= self.PRUNE_MAX_FILTER_RANGES:
+        if term_ranges and len(all_ranges) <= self.PRUNE_MAX_FILTER_RANGES:
             overlap = None
             for lo, hi in all_ranges:
                 c = (F.col("first_doc_id") <= hi) & (
@@ -592,107 +638,259 @@ class SearchEngine:
             if unpruned_terms:
                 overlap = F.col("term").isin(unpruned_terms) | overlap
             blocks = blocks.filter(overlap)
-        blocks = blocks.select("term", "doc_ids", "tfs", "dls")
+        blocks = blocks.select(
+            "term", "first_doc_id", "doc_ids", "tfs", "dls"
+        )
 
-        part_schema = T.StructType(
+        # ---- packed exchange layout -----------------------------------
+        # The candidate partials for a big batch are |union df|-sized; a
+        # row-per-posting exchange ships ~28B+ per posting (ints + row
+        # overhead). Instead the decode stage RE-ENCODES each term's
+        # postings into delta-varbyte slices keyed by doc-RANGE bucket
+        # (~4-6B per posting), so the wide exchange moves packed buffers,
+        # and the scoring stage decodes them straight into dense
+        # per-bucket arrays — no per-posting rows ever cross a shuffle.
+        # A term's blocks are disjoint, ordered doc runs (within AND
+        # across part_ids — parts split the doc_id space), so sorting a
+        # scan batch by (term, first_doc_id) makes the grouped decode
+        # output globally sorted per term; range slicing is then one
+        # searchsorted against the bucket edges.
+        n_score_parts = self.spark.sparkContext.defaultParallelism
+        n_rb = 8 * n_score_parts  # over-decompose: hash smooths rb->part
+        edges = (
+            np.arange(n_rb + 1, dtype=np.int64) * (self.n_docs + 2)
+        ) // n_rb
+        rb_widths = np.diff(edges)
+        idf_by_ti = np.array(
+            [term_idf[t] for t in terms], dtype=np.float64
+        )
+
+        pack_schema = T.StructType(
             [
-                T.StructField("qi", T.IntegerType(), False),
-                T.StructField("doc_id", T.LongType(), False),
-                T.StructField("order", T.IntegerType(), False),
-                T.StructField("s", T.DoubleType(), False),
+                T.StructField("rb", T.IntegerType(), False),
+                T.StructField("ti", T.IntegerType(), False),
+                T.StructField("ids_b", T.BinaryType(), False),
+                T.StructField("tf_b", T.BinaryType(), False),
+                T.StructField("dl_b", T.BinaryType(), False),
             ]
         )
 
-        def decode_score_many(batches):
-            from ..functions.codec import varbyte_decode
+        def decode_pack(batches):
+            from ..functions.codec import (
+                decode_postings_grouped,
+                varbyte_decode_groups,
+                varbyte_encode_sliced,
+            )
 
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                qi_a, doc_a, ord_a, s_a = [], [], [], []
-                for term, ids_buf, tfs_buf, dls_buf in zip(
-                    pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]
-                ):
-                    ids, tfs = decode_postings(bytes(ids_buf), bytes(tfs_buf))
+                pdf = pdf.sort_values(
+                    ["term", "first_doc_id"], ignore_index=True
+                )
+                ids_col = pdf["doc_ids"].to_numpy()
+                tfs_col = pdf["tfs"].to_numpy()
+                dls_col = pdf["dls"].to_numpy()
+                o_rb, o_ti, o_ids, o_tf, o_dl = [], [], [], [], []
+                for term, rows in pdf.groupby(
+                    "term", sort=False
+                ).indices.items():
+                    ids, tfs, _ = decode_postings_grouped(
+                        list(ids_col[rows]), list(tfs_col[rows])
+                    )
                     if ids.size == 0:
                         continue
-                    if mode == "bm25":
-                        dls = varbyte_decode(bytes(dls_buf)).astype(np.float64)
-                        numer = tfs * (K1 + 1)
-                        denom = tfs + K1 * (1 - B + B * dls / avgdl)
-                    for qi, order, idf in subs[term]:
-                        if mode == "bm25":
-                            # literal operation order of the single-query
-                            # path: (idf * numer) / denom — NOT
-                            # idf * (numer / denom), which differs by an ulp
-                            s = idf * numer / denom
-                        else:  # relevance_ref
-                            s = tfs / max_tf_sum
-                        sub_ids = ids
-                        rng = q_ranges.get(qi)
-                        if rng is not None:
-                            # mask to THIS query's rarest-term ranges
-                            # (lossless under its conjunctive filter) so
-                            # pruned docs never enter the shuffle
-                            lo_arr, hi_arr = rng
-                            pos = (
-                                np.searchsorted(lo_arr, ids, side="right")
-                                - 1
-                            )
-                            keep = (pos >= 0) & (
-                                ids <= hi_arr[np.clip(pos, 0, None)]
-                            )
-                            if not keep.all():
-                                sub_ids = ids[keep]
-                                s = s[keep]
-                        n = sub_ids.size
-                        if n == 0:
-                            continue
-                        qi_a.append(np.full(n, qi, dtype=np.int32))
-                        doc_a.append(sub_ids)
-                        ord_a.append(np.full(n, order, dtype=np.int32))
-                        s_a.append(s)
-                if qi_a:
+                    dls, _ = varbyte_decode_groups(list(dls_col[rows]))
+                    ti = term_ti[term]
+                    rng = term_ranges.get(ti)
+                    if rng is not None:
+                        # union mask over ALL subscribing queries' rarest
+                        # ranges (lossless, see docstring) so pruned docs
+                        # never enter the exchange
+                        lo_arr, hi_arr = rng
+                        pos = np.searchsorted(lo_arr, ids, side="right") - 1
+                        keep = (pos >= 0) & (
+                            ids <= hi_arr[np.clip(pos, 0, None)]
+                        )
+                        if not keep.all():
+                            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if ids.size == 0:
+                        continue
+                    cut = np.searchsorted(ids, edges[1:-1])
+                    starts = np.concatenate(([0], cut))
+                    lens = np.diff(np.concatenate((starts, [ids.size])))
+                    # delta stream, absolute value at each slice start
+                    ids_u = ids.astype(np.uint64)
+                    g = np.empty(ids.size, dtype=np.uint64)
+                    g[0] = ids_u[0]
+                    g[1:] = ids_u[1:] - ids_u[:-1]
+                    snz = starts[lens > 0]
+                    g[snz] = ids_u[snz]
+                    ids_bufs = varbyte_encode_sliced(g, starts)
+                    tf_bufs = varbyte_encode_sliced(
+                        tfs.astype(np.uint64), starts
+                    )
+                    dl_bufs = varbyte_encode_sliced(dls, starts)
+                    for j in np.flatnonzero(lens):
+                        o_rb.append(j)
+                        o_ti.append(ti)
+                        o_ids.append(ids_bufs[j])
+                        o_tf.append(tf_bufs[j])
+                        o_dl.append(dl_bufs[j])
+                if o_rb:
                     yield pd.DataFrame(
                         {
-                            "qi": np.concatenate(qi_a),
-                            "doc_id": np.concatenate(doc_a),
-                            "order": np.concatenate(ord_a),
-                            "s": np.concatenate(s_a),
+                            "rb": np.array(o_rb, dtype=np.int32),
+                            "ti": np.array(o_ti, dtype=np.int32),
+                            "ids_b": o_ids,
+                            "tf_b": o_tf,
+                            "dl_b": o_dl,
                         }
                     )
 
-        partials = blocks.mapInPandas(decode_score_many, schema=part_schema)
-        pivoted = (
-            partials.groupBy("qi", "doc_id")
-            .pivot("order", list(range(max_n)))
-            .agg(F.first("s"))
+        partials = blocks.mapInPandas(decode_pack, schema=pack_schema)
+        # co-locate each doc's term partials, then score EVERY query and
+        # take per-partition top-k in ONE vectorized numpy pass: a dense
+        # (docs x terms) matrix per partition, each query's score as a
+        # left-to-right sum of its df-ascending term columns (missing
+        # terms contribute literally +0.0 — the exact COALESCE-chain
+        # accumulation order of search_ids), presence as a bool-matrix
+        # AND (conjunctive) / OR (disjunctive), and (score DESC, doc_id
+        # ASC) top-k per query via lexsort. Output is k-bounded per
+        # (query, partition), so the final combine touches at most
+        # |queries| x partitions x k rows. (A Catalyst formulation —
+        # per-doc map + per-query struct array + explode + window — was
+        # measured 2-4x slower here: the |queries|-way expression fanout
+        # runs per doc row, and the pre-window sort pays
+        # O(matches log matches) on the exploded set.)
+        m = len(terms)
+        q_cols = [
+            [term_ti[info.term] for info in infos]
+            for qid, infos in per_q.items()
+        ]
+        topk_schema = T.StructType(
+            [
+                T.StructField("qi", T.IntegerType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
         )
-        score = F.lit(0.0)
-        for o in range(max_n):
-            score = score + F.coalesce(F.col(f"`{o}`"), F.lit(0.0))
-        scored = pivoted.withColumn("score", score)
+
+        def score_topk(batches):
+            # a (rb, ti) group's packed rows may straddle Arrow batches —
+            # concat first; the per-partition frame holds only packed
+            # buffers (~handful of rows per (rb, ti)), never posting rows
+            from ..functions.codec import (
+                decode_postings_grouped,
+                varbyte_decode_groups,
+            )
+
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 \
+                else pdfs[0]
+            # dense layout: this partition's present range buckets laid
+            # out contiguously — doc -> row is pure arithmetic (no
+            # np.unique / sort over postings)
+            rb_col = pdf["rb"].to_numpy()
+            rbs = np.unique(rb_col)
+            cum = np.concatenate(
+                ([0], np.cumsum(rb_widths[rbs], dtype=np.int64))
+            )
+            n_rows = int(cum[-1])
+            rb_lo = edges[rbs]  # doc lower bound per present bucket
+            mat = np.zeros((n_rows, m), dtype=np.float64)
+            hit = np.zeros((n_rows, m), dtype=bool)
+            ids_col = pdf["ids_b"].to_numpy()
+            tf_col = pdf["tf_b"].to_numpy()
+            dl_col = pdf["dl_b"].to_numpy()
+            for ti_val, rows in pdf.groupby("ti", sort=False).indices.items():
+                ids, tfs, cnt = decode_postings_grouped(
+                    list(ids_col[rows]), list(tf_col[rows])
+                )
+                if ids.size == 0:
+                    continue
+                if mode == "bm25":
+                    dls, _ = varbyte_decode_groups(list(dl_col[rows]))
+                    dls = dls.astype(np.float64)
+                    numer = tfs * (K1 + 1)
+                    denom = tfs + K1 * (1 - B + B * dls / avgdl)
+                    # literal operation order of the single-query path:
+                    # (idf * numer) / denom — NOT idf * (numer / denom),
+                    # which differs by an ulp
+                    s = idf_by_ti[ti_val] * numer / denom
+                else:  # relevance_ref
+                    s = tfs / max_tf_sum
+                row_rank = np.searchsorted(rbs, rb_col[rows])
+                rank = np.repeat(row_rank, cnt)
+                idx = cum[rank] + (ids - rb_lo[rank])
+                mat[idx, ti_val] = s
+                hit[idx, ti_val] = True
+            qi_a, doc_a, s_a = [], [], []
+            for qi, cols in enumerate(q_cols):
+                # presence first (1-byte bool traffic), THEN score only
+                # the candidate rows (8-byte gathers) — same left-to-right
+                # df-ascending additions as search_ids on a row subset,
+                # so the doubles are bit-identical
+                present = hit[:, cols[0]].copy()
+                for c in cols[1:]:
+                    if conjunctive:
+                        present &= hit[:, c]
+                    else:
+                        present |= hit[:, c]
+                cand = np.flatnonzero(present)
+                if cand.size == 0:
+                    continue
+                cs = mat[cand, cols[0]].copy()
+                for c in cols[1:]:  # df-ascending, left to right
+                    cs += mat[cand, c]
+                # dense row -> doc_id (needed for the ASC tie-break too)
+                rank = np.searchsorted(cum, cand, side="right") - 1
+                docs = cand - cum[rank] + rb_lo[rank]
+                if cand.size > 4 * k:
+                    # O(n) preselect by score alone, then tie-safe: keep
+                    # EVERY candidate scoring >= the provisional k-th
+                    # before the (score DESC, doc_id ASC) lexsort decides
+                    thr = cs[np.argpartition(-cs, k - 1)[k - 1]]
+                    keep = np.flatnonzero(cs >= thr)
+                    order = np.lexsort((docs[keep], -cs[keep]))[:k]
+                    sel_d, sel_s = docs[keep[order]], cs[keep[order]]
+                else:
+                    order = np.lexsort((docs, -cs))[:k]
+                    sel_d, sel_s = docs[order], cs[order]
+                qi_a.append(np.full(sel_d.size, qi, dtype=np.int32))
+                doc_a.append(sel_d)
+                s_a.append(sel_s)
+            if qi_a:
+                yield pd.DataFrame(
+                    {
+                        "qi": np.concatenate(qi_a),
+                        "doc_id": np.concatenate(doc_a),
+                        "score": np.concatenate(s_a),
+                    }
+                )
+
+        # explicit partition count: without it AQE's advisory-size
+        # coalescing is free to merge this exchange down to a handful of
+        # partitions (the packed frame is small in BYTES), strangling the
+        # scoring stage's parallelism — its cost is numpy work per
+        # POSTING, not shuffle bytes
+        scored = partials.repartition(n_score_parts, "rb").mapInPandas(
+            score_topk, schema=topk_schema
+        )
         names = self.spark.createDataFrame(
-            [(i, qid, len(per_q[qid])) for qid, i in qid_idx.items()],
-            schema="qi int, query_id string, n_terms int",
+            [(i, qid) for qid, i in qid_idx.items()],
+            schema="qi int, query_id string",
         )
-        if conjunctive:
-            n_present = sum(
-                F.col(f"`{o}`").isNotNull().cast("int") for o in range(max_n)
-            )
-            scored = (
-                scored.withColumn("_np", n_present)
-                .join(F.broadcast(names.select("qi", "n_terms")), "qi")
-                .filter(F.col("_np") == F.col("n_terms"))
-            )
-        # per-query top-k: row_number <= k compiles to WindowGroupLimit
-        # (partial top-k BEFORE the qi shuffle), so no query group ever
-        # sorts its full candidate set through the exchange
+        # final per-query top-k over the k-bounded per-partition winners:
+        # row_number <= k compiles to WindowGroupLimit (partial top-k
+        # before the qi exchange)
         w = Window.partitionBy("qi").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
-            .join(F.broadcast(names.select("qi", "query_id")), "qi")
+            .join(F.broadcast(names), "qi")
             .select("query_id", "doc_id", "score")
         )
 

@@ -84,7 +84,8 @@ def main() -> None:
             if line.startswith("[build-profile] "):
                 print(line, file=sys.stderr, flush=True)
         r = json.loads(out.stdout.strip().splitlines()[-1])
-        r["clean"] = r["steal_sec"] <= 0.02 * r["build_sec"] * args.cpus
+        wall = r.get("build_sec", r.get("wall_sec"))
+        r["clean"] = r["steal_sec"] <= 0.02 * wall * args.cpus
         runs.append(r)
         print(json.dumps(r), flush=True)
         if r["clean"]:
@@ -92,7 +93,10 @@ def main() -> None:
     if not runs:
         sys.exit(1)
     clean = [r for r in runs if r["clean"]]
-    best = min(clean or runs, key=lambda r: r["build_sec"])
+    best = min(
+        clean or runs,
+        key=lambda r: r.get("build_sec", r.get("wall_sec")),
+    )
     print(json.dumps({"best": best, "n_runs": len(runs)}), flush=True)
 
 
