@@ -14,8 +14,9 @@ Pipeline (2 wide shuffles total):
     -> term_stats (df, cf), corpus_stats
     -> per doc_id-range PART (checkpoint unit):
          broadcast-join term df  -> range-salt hot terms
-         -> (term,salt)-hashed sorted partitions -> mapInPandas encoder:
-            delta+varbyte blocks w/ block-max, one numpy pass per partition
+         -> (term,salt) collect_list groups -> mapInArrow encoder: one
+            list row per group crosses Arrow (not one row per posting),
+            delta+varbyte blocks w/ block-max, one numpy pass per batch
          -> postings/part_id=P/bucket=B parquet + manifest row (lineage)
 
 Scale notes (100 TB / 1000 executors):
@@ -231,9 +232,10 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
-    """Partition-level mapInPandas encoder. Input partitions are hash-
-    partitioned by (term_id, salt) and sorted by (term_id, salt, doc_id);
-    ONE numpy pass per PARTITION encodes every block of every group in it —
+    """Batch-level posting encoder. Input frames hold (term_id, salt)-
+    CONTIGUOUS runs sorted by doc_id within each run (encode_salted's
+    arrow_encode builds them from collect_list groups with one lexsort);
+    ONE numpy pass per frame encodes every block of every group in it —
     the delta pass, both varbyte width/scatter passes, and the reduceat
     block maxima all amortize across thousands of groups at once.
 
@@ -375,19 +377,32 @@ def encode_salted(
     avgdl: float,
     block_size: int,
 ) -> DataFrame:
-    """Shuffle ``salted`` (term_id, salt, doc_id, tf, dl, df rows) into
-    (term_id, salt)-hashed, (term_id, salt, doc_id)-sorted partitions and
-    encode each partition's posting blocks in one vectorized pass.
-    Partition count is 3x spark.sql.shuffle.partitions: the encode stage is
-    the longest map stage in the build and a 1-partition-per-core layout
-    leaves the tail of the stage running on a handful of cores whenever the
-    (term_id, salt) hash deals uneven partitions (measured: 3x partitions
-    cut the stage 31% at 16 cores, /tmp/ab_nenc.log best-of-3 35.9s vs
-    51.8s). Finer tasks also keep each pandas batch smaller — size
-    shuffle.partitions so a partition's rows fit executor memory (same
-    invariant applyInPandas demanded per group, now amortized over many
-    groups). Output rows are term_id-keyed blocks; _attach_terms restores
-    the string + bucket."""
+    """Aggregate ``salted`` (term_id, salt, doc_id, tf, dl, df rows) into
+    ONE list-typed row per (term_id, salt) group (collect_list — map-side
+    combinable, group size bounded by the salt budget), ship the groups to
+    Python over mapInArrow, and encode each batch's posting blocks in one
+    vectorized pass.
+
+    Why groups, not rows: Arrow's per-ROW crossing cost was the dominant,
+    WORST-SCALING term of the whole build (BENCH.md stage C: ~20 s of a
+    45 s stage at local[16]; ~flat in cores). Shipping one list row per
+    group drops the rows crossing Arrow from |postings| to |groups|
+    (~10^4x), the list payload flattens zero-copy to numpy on the Python
+    side, and the JVM post-shuffle sort disappears — a single in-worker
+    lexsort over (group, doc_id) replaces it. Measured on the 2.81M-doc
+    corpus part 0: 38.3 s -> 19.6 s best-clean at local[4]; at or below
+    baseline at local[16] (storm-bounded); output blocks bit-identical
+    (xxhash64 checksum over all 269k blocks).
+
+    Partition count stays 3x spark.sql.shuffle.partitions (pre-agg
+    repartition on the grouping keys — the agg reuses it, no second
+    exchange): the encode is the longest stage in the build and a
+    1-partition-per-core layout leaves its tail on a handful of cores
+    when the (term_id, salt) hash deals uneven partitions. Size
+    shuffle.partitions so a partition's groups fit executor memory (the
+    aggregation buffers hold its groups' postings as JVM lists). Output
+    rows are term_id-keyed blocks; _attach_terms restores the string +
+    bucket."""
     n_enc = 3 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     id_type = dict(salted.dtypes)["term_id"]  # bigint | string (fallback)
     out_schema = T.StructType(
@@ -396,13 +411,57 @@ def encode_salted(
         + [f for f in schemas.POSTINGS.fields
            if f.name not in ("term", "bucket")]
     )
-    prepared = (
+    grouped = (
         salted.repartition(n_enc, "term_id", "salt")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
+        .groupBy("term_id", "salt")
+        .agg(
+            F.first("df").alias("df"),
+            F.collect_list(F.struct("doc_id", "tf", "dl")).alias("ps"),
+        )
     )
-    return prepared.mapInPandas(
-        _make_part_encoder(n_docs, avgdl, block_size), schema=out_schema
-    )
+    encode = _make_part_encoder(n_docs, avgdl, block_size)
+
+    def arrow_encode(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ps = rb.column("ps")
+            if isinstance(ps, pa.ChunkedArray):
+                ps = ps.combine_chunks()
+            # list_value_length + flatten are slice-correct (raw .offsets
+            # are NOT when Spark hands a sliced batch)
+            counts = pc.list_value_length(ps).to_numpy().astype(np.int64)
+            flat = ps.flatten()
+            doc = flat.field("doc_id").to_numpy()
+            gi = np.repeat(np.arange(rb.num_rows, dtype=np.int64), counts)
+            order = np.lexsort((doc, gi))
+            pdf = pd.DataFrame(
+                {
+                    "term_id": np.repeat(
+                        rb.column("term_id").to_numpy(zero_copy_only=False),
+                        counts,
+                    )[order],
+                    "salt": np.repeat(
+                        rb.column("salt").to_numpy(), counts
+                    )[order],
+                    "doc_id": doc[order],
+                    "tf": flat.field("tf").to_numpy()[order],
+                    "dl": flat.field("dl").to_numpy()[order],
+                    "df": np.repeat(
+                        rb.column("df").to_numpy(), counts
+                    )[order],
+                }
+            )
+            for out in encode(iter([pdf])):
+                # mapInArrow requires exact Arrow types (no pandas
+                # coercion): block_id is int32 in the POSTINGS schema
+                out["block_id"] = out["block_id"].astype("int32")
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return grouped.mapInArrow(arrow_encode, schema=out_schema)
 
 
 def _attach_terms(
