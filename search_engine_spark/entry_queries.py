@@ -319,14 +319,17 @@ def _topk_spark(
 # input shape (BASELINE.json input_hint), build the inverted index once per
 # sf_dir (cached in /tmp, manifest-resumable), query it.
 # ---------------------------------------------------------------------------
+def _tagged_index_dir(sf_dir: str, tag: str = "") -> str:
+    """Cache dir for a gate entry's throwaway index build, keyed on the
+    build recipe (BUILD_TAG), the corpus dir, and the entry's ``tag``
+    (incr/scope/cpct/skew builds diverge from the plain one)."""
+    sel = f"{tag}:" if tag else ""
+    key = hashlib.md5(f"{BUILD_TAG}:{sel}{sf_dir}".encode()).hexdigest()[:10]
+    return f"/tmp/ses_index_{key}"
+
+
 def _index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(f"{BUILD_TAG}:{sf_dir}".encode()).hexdigest()[:10]
-    return f"/tmp/ses_index_{key}"
-
-
-def _incr_index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(f"{BUILD_TAG}:incr:{sf_dir}".encode()).hexdigest()[:10]
-    return f"/tmp/ses_index_{key}"
+    return _tagged_index_dir(sf_dir)
 
 
 def documents_as_transcripts(docs: DataFrame) -> DataFrame:
@@ -583,7 +586,7 @@ def q_engine_incremental_stats(spark, sf_dir):
     resumes off its manifest and the merge batch anti-joins to a no-op."""
     from .operators.incremental import incremental_update
 
-    out = _incr_index_dir(sf_dir)
+    out = _tagged_index_dir(sf_dir, "incr")
     docs = _docs(spark, sf_dir)
     base = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 != 0))
     inc = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 == 0))
@@ -598,24 +601,26 @@ def q_engine_incremental_stats(spark, sf_dir):
 SCOPE_PREFIX = "src1"  # matches src1, src10..src19 — 11 sources, 275 docs
 
 
-def _scoped_index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(f"{BUILD_TAG}:scope:{sf_dir}".encode()).hexdigest()[:10]
-    return f"/tmp/ses_index_{key}"
-
-
 def q_engine_scoped_topk(spark, sf_dir):
     """P4 site-scoped search through the ENGINE (the reference restricts
     a search to one site when given, SearchServiceImpl.java:105-114 —
     our site analog is the documents `source` column, mapped to conv_id
-    so each source is one 'site'). Because doc_ids are dense in
-    (conv_id, turn_idx) order, a conv-prefix scope is ONE contiguous
-    doc_id interval, pushed into the postings scan as a range predicate
-    (row-group pruning) instead of a join against the doc store —
-    at 100 TB a scope costs one min/max lookup, not a shuffle. Scoring
-    statistics stay GLOBAL (scope excludes candidates, it does not
-    re-derive idf — documented deviation from the reference's per-site
-    lemma frequencies). Oracle = the plain scorer with the same scope
+    so each source is one 'site'). doc_ids are dense in (conv_id,
+    turn_idx) order WITHIN each build batch, so a conv-prefix scope is
+    one contiguous doc_id run PER BATCH, pushed into the postings scan
+    as an OR-of-ranges predicate (row-group pruning) instead of a join
+    against the doc store — at 100 TB a scope costs one boundary
+    lookup, not a shuffle. The index here is deliberately built as base
+    (80%) + incremental append (20%), so the scope owns TWO disjoint
+    runs and the naive [min, max] envelope would admit out-of-scope
+    docs (code-review r3 fix) — the oracle is layout-independent, so
+    bit-equality proves the run-exact path. Scoring statistics stay
+    GLOBAL (scope excludes candidates, it does not re-derive idf —
+    documented deviation from the reference's per-site lemma
+    frequencies). Oracle = the plain scorer with the same scope
     predicate on the partials."""
+    from .operators.incremental import incremental_update
+
     docs = _docs(spark, sf_dir)
     transcripts = docs.select(
         F.col("source").alias("conv_id"),
@@ -625,9 +630,20 @@ def q_engine_scoped_topk(spark, sf_dir):
         F.lit(None).cast("string").alias("tool"),
         F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
-    out = _scoped_index_dir(sf_dir)
-    build_index(spark, transcripts, out, resume=True)
+    out = _tagged_index_dir(sf_dir, "scope2")
+    build_index(
+        spark, transcripts.filter(F.col("turn_idx") % 5 != 0), out,
+        resume=True,
+    )
+    incremental_update(
+        spark, transcripts.filter(F.col("turn_idx") % 5 == 0), out
+    )
     eng = SearchEngine(spark, out)
+    scope_runs = eng._scope_ranges(SCOPE_PREFIX)
+    assert scope_runs is not None and len(scope_runs) == 2, (
+        f"scoped entry expected 2 doc_id runs (base + append), got "
+        f"{scope_runs}"
+    )
     ids = eng.search_ids(
         " ".join(QUERY_TERMS), k=TOPK, mode="bm25", scope=SCOPE_PREFIX
     )
@@ -637,11 +653,6 @@ def q_engine_scoped_topk(spark, sf_dir):
         .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
-
-
-def _compact_index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(f"{BUILD_TAG}:cpct:{sf_dir}".encode()).hexdigest()[:10]
-    return f"/tmp/ses_index_{key}"
 
 
 def q_engine_compacted_topk(spark, sf_dir):
@@ -659,7 +670,7 @@ def q_engine_compacted_topk(spark, sf_dir):
     from .operators.compaction import compact_index
     from .operators.incremental import incremental_update
 
-    out = _compact_index_dir(sf_dir)
+    out = _tagged_index_dir(sf_dir, "cpct")
     docs = _docs(spark, sf_dir)
     base = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 != 0))
     inc = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 == 0))
@@ -680,11 +691,6 @@ SKEW_TERM = "zzhot"    # appended to EVERY doc -> df == n_docs (worst Zipf head)
 SKEW_SALT_BUDGET = 64  # df=500 at sf0.01 -> ceil(500/64) = 8 salt subranges
 
 
-def _skew_index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(f"{BUILD_TAG}:skew:{sf_dir}".encode()).hexdigest()[:10]
-    return f"/tmp/ses_index_{key}"
-
-
 def q_engine_skew_topk(spark, sf_dir):
     """Adversarial-skew stress under the gate: a corpus where ONE term
     (`zzhot`) appears in EVERY document — df = n_docs, the worst possible
@@ -699,7 +705,7 @@ def q_engine_skew_topk(spark, sf_dir):
     docs = _docs(spark, sf_dir).withColumn(
         "text", F.concat(F.col("text"), F.lit(" " + SKEW_TERM))
     )
-    out = _skew_index_dir(sf_dir)
+    out = _tagged_index_dir(sf_dir, "skew")
     build_index(
         spark,
         documents_as_transcripts(docs),

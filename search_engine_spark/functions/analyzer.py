@@ -63,7 +63,7 @@ _RULES: tuple[tuple[str, int, int, str, tuple[str, ...]], ...] = (
     ("ed", 5, 2, "", ()),
     ("est", 6, 3, "", ()),
     ("ally", 7, 2, "", ()),   # usually -> usual, typically -> typical
-    ("ily", 6, 3, "y", ()),   # easily -> easy, daily -> day
+    ("ily", 6, 3, "y", ()),   # easily -> easy ('daily' len 5 < 6: unchanged)
     ("ly", 6, 2, "", ()),     # quickly -> quick, really -> real
     ("er", 6, 2, "", ()),     # smaller -> small, builder -> build
 )

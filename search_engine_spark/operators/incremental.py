@@ -156,6 +156,13 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
             shutil.rmtree(postings_part, ignore_errors=True)
     if not finish:
         return _read_manifest(out_dir)
+    # Recompute stats BEFORE writing the DONE manifest rows: a crash
+    # between the two leaves the parts as orphans, so replay re-enters
+    # this branch and idempotently recomputes again. The reverse order
+    # would commit the parts with stale term_stats/corpus_stats and no
+    # self-repair path (the part stops being an orphan, recovery never
+    # re-triggers, every query scores with pre-batch idf/avgdl).
+    n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets)
     for p in finish:
         m = (
             spark.read.parquet(f"{out_dir}/postings/part_id={p}")
@@ -186,8 +193,6 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
                 "recovered": True,
             },
         )
-    # the full staging+documents aggregation runs ONCE, not per orphan
-    n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets)
     stage = dict(manifest["stage_docs"])
     stage["n_docs"] = n_docs
     _write_manifest_row(out_dir, "stage_docs", stage)

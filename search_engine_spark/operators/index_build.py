@@ -800,9 +800,16 @@ def build_index(
     term_stats = spark.read.parquet(stats_path)
     try:
         staging_df = spark.read.parquet(staging_path)
-    except AnalysisException:
+    except AnalysisException as staging_err:
         # a corpus whose every document analyzed to zero terms writes no
-        # staging part files (dir exists, no schema) — encode empty parts
+        # staging part files (dir exists, no schema) — encode empty parts.
+        # ONLY that exact shape (UNABLE_TO_INFER_SCHEMA) may fall back: a
+        # MISSING staging dir on a resume (PATH_NOT_FOUND — lost/partial
+        # copy) would otherwise silently commit every part DONE with zero
+        # postings over a populated documents table. Same loud/quiet split
+        # as the query engine's postings read (query.py:83-115).
+        if "UNABLE_TO_INFER_SCHEMA" not in str(staging_err):
+            raise
         staging_df = spark.createDataFrame([], schema=schemas.STAGING)
     actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
     todo = [

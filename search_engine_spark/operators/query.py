@@ -134,16 +134,7 @@ class SearchEngine:
         q_terms = sorted(set(analyze_text(query)))
         if not q_terms:
             return [], 0
-        uncached = [t for t in q_terms if t not in self._df_cache]
-        if uncached:
-            rows = (
-                self.term_stats.filter(F.col("term").isin(uncached))
-                .select("term", "df")
-                .collect()
-            )
-            hit = {r["term"]: int(r["df"]) for r in rows}
-            for t in uncached:  # absent terms memoize as None
-                self._df_cache[t] = hit.get(t)
+        self._fill_df_cache(q_terms)
         found = {
             t: self._df_cache[t]
             for t in q_terms
@@ -159,6 +150,22 @@ class SearchEngine:
         for i, ti in enumerate(infos):
             ti.order = i
         return infos, n_missing
+
+    def _fill_df_cache(self, terms: list[str]) -> None:
+        """Memoize dictionary rows for ``terms`` in one driver job; absent
+        terms memoize as None (the single- and batch-query paths must
+        share this contract — see lookup_terms / search_many)."""
+        uncached = [t for t in terms if t not in self._df_cache]
+        if not uncached:
+            return
+        rows = (
+            self.term_stats.filter(F.col("term").isin(uncached))
+            .select("term", "df")
+            .collect()
+        )
+        hit = {r["term"]: int(r["df"]) for r in rows}
+        for t in uncached:
+            self._df_cache[t] = hit.get(t)
 
     def _idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
@@ -245,27 +252,77 @@ class SearchEngine:
         for t, sp in spans.items():
             self._ranges_cache[t] = self._merge_spans(sp)
 
-    def _scope_range(self, scope: str) -> tuple[int, int] | None:
-        """P4 site-scope → doc_id range (SearchServiceImpl.java:105-114).
-        doc_ids are dense in (conv_id, turn_idx) order, so every conv_id
-        PREFIX owns one contiguous doc_id interval — scoping becomes a
-        range predicate the parquet scan prunes on (row-group min/max over
-        first/last_doc_id), not a join against the doc store. Returns
-        None when no document matches the scope. Memoized like the
-        dictionary rows (immutable snapshot view)."""
+    # a scope's run count is structurally <= 1 + #incremental batches
+    # (see _scope_ranges); blowing past this cap means the doc_id-order
+    # invariant broke — stay loud rather than collect unbounded rows
+    SCOPE_MAX_RANGES = 4096
+
+    @staticmethod
+    def _intersect_spans(
+        a: list[tuple[int, int]], b: list[tuple[int, int]]
+    ) -> list[tuple[int, int]]:
+        """Intersect two sorted, merged interval lists (two-pointer)."""
+        out: list[tuple[int, int]] = []
+        i = j = 0
+        while i < len(a) and j < len(b):
+            lo = max(a[i][0], b[j][0])
+            hi = min(a[i][1], b[j][1])
+            if lo <= hi:
+                out.append((lo, hi))
+            if a[i][1] < b[j][1]:
+                i += 1
+            else:
+                j += 1
+        return out
+
+    def _scope_ranges(self, scope: str) -> list[tuple[int, int]] | None:
+        """P4 site-scope → doc_id ranges (SearchServiceImpl.java:105-114).
+        doc_ids are dense in (conv_id, turn_idx) order WITHIN each build
+        batch (fresh build = one batch; every incremental_update appends
+        its own contiguously-numbered batch, compaction restores a single
+        batch), so a conv_id PREFIX owns one contiguous doc_id run PER
+        BATCH — not one global interval: after an incremental append, a
+        naive [min, max] envelope would span every unrelated document
+        between the base run and the appended run and scoped search would
+        silently return out-of-scope hits. The exact maximal runs are
+        recovered distributed-side with two anti-joins (a doc_id STARTS a
+        run iff doc_id-1 is not in scope, ENDS one iff doc_id+1 is not),
+        so only the ≤ 2·n_batches boundary rows reach the driver; the
+        scan still prunes on row-group min/max over first/last_doc_id.
+        Returns None when no document matches the scope. Memoized like
+        the dictionary rows (immutable snapshot view)."""
         key = f"\x00scope:{scope}"
         if key in self._ranges_cache:
-            cached = self._ranges_cache[key]
-            return cached[0] if cached else None
-        row = (
-            self.documents.filter(F.col("conv_id").startswith(scope))
-            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-            .collect()[0]
+            return self._ranges_cache[key]
+        ids = self.documents.filter(
+            F.col("conv_id").startswith(scope)
+        ).select("doc_id")
+        starts = ids.join(
+            ids.select((F.col("doc_id") + F.lit(1)).alias("doc_id")),
+            "doc_id",
+            "left_anti",
         )
-        result = (
-            None if row["lo"] is None else (int(row["lo"]), int(row["hi"]))
+        ends = ids.join(
+            ids.select((F.col("doc_id") - F.lit(1)).alias("doc_id")),
+            "doc_id",
+            "left_anti",
         )
-        self._ranges_cache[key] = [result] if result else None
+        cap = self.SCOPE_MAX_RANGES
+        lo_rows = starts.orderBy("doc_id").limit(cap + 1).collect()
+        if len(lo_rows) > cap:
+            raise RuntimeError(
+                f"scope '{scope}' spans more than {cap} doc_id runs — "
+                "the per-batch contiguity invariant is broken (or the "
+                "index has seen thousands of incremental batches); run "
+                "compact_index to restore a single dense ordering"
+            )
+        hi_rows = ends.orderBy("doc_id").limit(cap + 1).collect()
+        runs = [
+            (int(lo["doc_id"]), int(hi["doc_id"]))
+            for lo, hi in zip(lo_rows, hi_rows)
+        ]
+        result = self._merge_spans(runs) if runs else None
+        self._ranges_cache[key] = result
         return result
 
     def candidate_scores(
@@ -273,12 +330,12 @@ class SearchEngine:
         infos: list[TermInfo],
         mode: str = "bm25",
         conjunctive: bool = True,
-        scope_range: tuple[int, int] | None = None,
+        scope_ranges: list[tuple[int, int]] | None = None,
     ) -> DataFrame:
         """Decode matching posting blocks -> (doc_id, order, s) partial
         scores. Partition-pruned by bucket, row-group pruned by term,
         (conjunctive) by rarest-term doc_id ranges, and (scoped) by the
-        scope's doc_id interval. Scoring statistics stay GLOBAL under a
+        scope's doc_id run list. Scoring statistics stay GLOBAL under a
         scope (idf/avgdl of the whole corpus — the scope excludes
         candidates, it does not define a sub-corpus; documented deviation
         from the reference's per-site lemma frequencies, SURVEY.md §7.5)."""
@@ -291,17 +348,13 @@ class SearchEngine:
         ranges = None
         if conjunctive and len(infos) > 1:
             ranges = self._rare_term_ranges(infos[0])
-        if scope_range is not None:
-            s_lo, s_hi = scope_range
+        if scope_ranges is not None:
             if ranges is None:
-                ranges = [scope_range]
+                ranges = scope_ranges
             else:
-                # intersect rare-term ranges with the scope interval
-                ranges = [
-                    (max(lo, s_lo), min(hi, s_hi))
-                    for lo, hi in ranges
-                    if hi >= s_lo and lo <= s_hi
-                ]
+                # intersect rare-term ranges with the scope's run list
+                # (both sorted + merged)
+                ranges = self._intersect_spans(ranges, scope_ranges)
                 if not ranges:
                     ranges = [(1, 0)]  # empty intersection -> no blocks
 
@@ -418,14 +471,15 @@ class SearchEngine:
             return empty
         if not infos:
             return empty
-        scope_range = None
+        scope_ranges = None
         if scope is not None:
-            scope_range = self._scope_range(scope)
-            if scope_range is None:  # scope matches no documents
+            scope_ranges = self._scope_ranges(scope)
+            if scope_ranges is None:  # scope matches no documents
                 return empty
 
         partials = self.candidate_scores(
-            infos, mode=mode, conjunctive=conjunctive, scope_range=scope_range
+            infos, mode=mode, conjunctive=conjunctive,
+            scope_ranges=scope_ranges,
         )
         n = len(infos)
         # pivot to one column per term (values are single partial scores,
@@ -524,16 +578,7 @@ class SearchEngine:
         union_terms = sorted(
             {t for q in queries.values() for t in analyze_text(q)}
         )
-        uncached = [t for t in union_terms if t not in self._df_cache]
-        if uncached:
-            rows = (
-                self.term_stats.filter(F.col("term").isin(uncached))
-                .select("term", "df")
-                .collect()
-            )
-            hit = {r["term"]: int(r["df"]) for r in rows}
-            for t in uncached:
-                self._df_cache[t] = hit.get(t)
+        self._fill_df_cache(union_terms)
         per_q: dict[str, list[TermInfo]] = {}
         for qid, qtext in queries.items():
             infos, n_missing = self.lookup_terms(qtext)

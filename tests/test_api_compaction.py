@@ -107,9 +107,12 @@ def test_compact_fewer_parts_then_incremental(spark, tmp_path_factory):
     assert _staging_part_ids(idx) == {0, 1}  # staging follows the layout
 
     eng = SearchEngine(spark, idx)
+    # k far above the match count: both result sets are COMPLETE match
+    # lists, so the set-survival assertion below is strict (a truncating
+    # k would let "30 arbitrary rows came back" pass it vacuously)
     before = {
         (r["conv_id"], r["turn_idx"]): r["score"]
-        for r in eng.search_ids("query index", k=30)
+        for r in eng.search_ids("query index", k=100_000)
         .join(eng.documents.select("doc_id", "conv_id", "turn_idx"), "doc_id")
         .collect()
     }
@@ -122,14 +125,15 @@ def test_compact_fewer_parts_then_incremental(spark, tmp_path_factory):
     eng2 = SearchEngine(spark, idx)
     after = {
         (r["conv_id"], r["turn_idx"]): r["score"]
-        for r in eng2.search_ids("query index", k=30)
+        for r in eng2.search_ids("query index", k=100_000)
         .join(eng2.documents.select("doc_id", "conv_id", "turn_idx"), "doc_id")
         .collect()
     }
-    # old docs keep their ranking; scores may shift only via the global
-    # stats (n_docs/avgdl) the new batch legitimately changes — so compare
-    # the doc SET survives and replaying the same batch is still a no-op
-    assert set(before) <= set(after) or len(after) == 30
+    # scores may shift via the global stats (n_docs/avgdl) the new batch
+    # legitimately changes, but every pre-update matching doc must still
+    # match, and anything NEW must come from the appended batch
+    assert before and set(before) <= set(after)
+    assert all(c.startswith("post-") for c, _ in set(after) - set(before))
     assert incremental_update(spark, _sdf(spark, extra), idx)["new_docs"] == 0
 
 

@@ -20,6 +20,12 @@ from search_engine_spark.operators.query import SearchEngine
 from search_engine_spark.synth import make_transcripts
 
 
+def _to_sdf(spark, pdf):
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf)
+
+
 @pytest.fixture(scope="module")
 def split_corpora(spark, tmp_path_factory):
     pdf = make_transcripts(n_conversations=80, seed=21)
@@ -30,12 +36,9 @@ def split_corpora(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("incr")
     full_dir, base_dir = str(d / "full"), str(d / "base")
 
-    def to_sdf(p):
-        p = p.copy()
-        p["ts"] = p["ts"].astype("datetime64[us]")
-        return spark.createDataFrame(p)
-
-    full_sdf, base_sdf, extra_sdf = to_sdf(pdf), to_sdf(base_pdf), to_sdf(extra_pdf)
+    full_sdf, base_sdf, extra_sdf = (
+        _to_sdf(spark, pdf), _to_sdf(spark, base_pdf), _to_sdf(spark, extra_pdf)
+    )
     build_index(spark, full_sdf, full_dir, n_parts=2, resume=False)
     build_index(spark, base_sdf, base_dir, n_parts=2, resume=False)
     return full_dir, base_dir, extra_sdf
@@ -69,6 +72,49 @@ def test_incremental_matches_full_rebuild(spark, split_corpora):
     a = {r["term"]: (r["df"], r["cf"]) for r in full_stats.collect()}
     b = {r["term"]: (r["df"], r["cf"]) for r in incr_stats.collect()}
     assert a == b
+
+
+def test_scoped_search_after_incremental_append(spark, tmp_path_factory):
+    """A conv_id-prefix scope owns one contiguous doc_id run PER BATCH,
+    not one global interval: an incremental batch that re-uses an existing
+    prefix appends its run at the END of the doc_id space, so a naive
+    [min, max] scope envelope spans every unrelated base document between
+    the two runs. Scoped search must return in-scope docs ONLY, equal to
+    the unscoped scored set restricted to the prefix then re-cut."""
+    idx = str(tmp_path_factory.mktemp("scopeincr") / "idx")
+    base = make_transcripts(n_conversations=30, seed=31)
+    build_index(spark, _to_sdf(spark, base), idx, n_parts=2, resume=False)
+
+    extra = make_transcripts(n_conversations=8, seed=32)
+    # half the batch lands back under the scoped prefix, half elsewhere —
+    # both appended AFTER every base doc_id
+    scope = "conv-00000"  # base convs conv-000000..09: one dense base run
+    convs = sorted(extra["conv_id"].unique())
+    renames = {
+        c: (f"{scope}-new-{i}" if i % 2 == 0 else f"zz-extra-{i}")
+        for i, c in enumerate(convs)
+    }
+    extra["conv_id"] = extra["conv_id"].map(renames)
+    res = incremental_update(spark, _to_sdf(spark, extra), idx)
+    assert res["new_docs"] > 0
+
+    eng = SearchEngine(spark, idx)
+    ranges = eng._scope_ranges(scope)
+    assert ranges is not None and len(ranges) == 2  # base run + appended run
+
+    for query in ["query index", "token"]:
+        docs = eng.documents.select("doc_id", "conv_id")
+        unscoped = eng.search_ids(query, k=100_000).join(docs, "doc_id")
+        want = {
+            (r["doc_id"], r["score"])
+            for r in unscoped.collect()
+            if r["conv_id"].startswith(scope)
+        }
+        got_rows = eng.search_ids(query, k=100_000, scope=scope).join(
+            docs, "doc_id"
+        ).collect()
+        assert all(r["conv_id"].startswith(scope) for r in got_rows), query
+        assert {(r["doc_id"], r["score"]) for r in got_rows} == want, query
 
 
 def test_incremental_idempotent(spark, split_corpora):
