@@ -1536,12 +1536,14 @@ GROUP BY d.doc_id
 # ---------------------------------------------------------------------------
 # Text analysis ops
 # ---------------------------------------------------------------------------
-def q_lang_id(spark, sf_dir):
-    """Heuristic language ID: marker-stopword hit counts per language +
-    CJK character count; argmax with (count desc, lang asc) tie-break."""
-    docs = _docs(spark, sf_dir)
+def _lang_pred_df(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID core: marker-stopword hit counts per language
+    + CJK character count; argmax with (count desc, lang asc) tie-break.
+    Returns (doc_id, lang_pred). Shared by q_lang_id and the composed
+    training-shard pipeline."""
     toks = F.split(F.lower(F.col("text")), _WS)
     cjk = F.length(F.regexp_replace(F.col("text"), f"[^{_CJK}]", ""))
+
     def _marker_count(markers):
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
@@ -1563,6 +1565,12 @@ def q_lang_id(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("lang_pred"))
     )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID: marker-stopword hit counts per language +
+    CJK character count; argmax with (count desc, lang asc) tie-break."""
+    return _lang_pred_df(_docs(spark, sf_dir))
 
 
 def _sql_lang_id() -> str:
@@ -1590,10 +1598,11 @@ SELECT doc_id, lang AS lang_pred FROM ranked WHERE rn = 1
 """
 
 
-def q_quality_score(spark, sf_dir):
-    """Quality scoring: alpha ratio + stopword ratio -> linear score.
-    All inputs are exact integer counts; divisions are IEEE-exact."""
-    docs = _docs(spark, sf_dir)
+def _quality_df(docs: DataFrame) -> DataFrame:
+    """Quality-scoring core: alpha ratio + stopword ratio -> linear score.
+    All inputs are exact integer counts; divisions are IEEE-exact.
+    Returns (doc_id, n_tokens, alpha_ratio, stop_ratio, quality). Shared
+    by q_quality_score and the composed training-shard pipeline."""
     toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != F.lit(""))
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -1609,6 +1618,11 @@ def q_quality_score(spark, sf_dir):
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
     )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: alpha ratio + stopword ratio -> linear score."""
+    return _quality_df(_docs(spark, sf_dir))
 
 
 def _sql_quality() -> str:
@@ -1658,6 +1672,120 @@ SELECT d.doc_id,
        COALESCE(t.n_terms, 0) AS n_terms,
        COALESCE(t.n_unique_terms, 0) AS n_unique_terms
 FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+"""
+
+
+SHARD_N = 8             # deterministic output shards
+SHARD_QUALITY_MIN = 0.35
+SHARD_MIN_TERMS = 5     # analyzer-term length gate
+
+
+def q_pipeline_training_shard(spark, sf_dir):
+    """The LLM training-data prep funnel composed as ONE Catalyst plan —
+    the 100 TB shape the individual stages were built for, end-to-end:
+      1. hygiene (P1 blank-class filter, pushed to the scan),
+      2. exact dedup (md5 groupBy, keep min doc_id — the only
+         text-keyed shuffle in the plan),
+      3. language gate (heuristic lang_id == 'en'),
+      4. quality gate (alpha+stopword linear score >= cutoff),
+      5. length gate (analyzer terms >= min),
+      6. deterministic shard assignment (portable md5-60bit % N) so a
+         downstream writer partitions shards without another shuffle.
+    Every stage reuses an individually-oracled core (_lang_pred_df,
+    _quality_df, terms_col, _hash_col) — this entry proves they COMPOSE
+    bit-exactly, not just pass alone. All joins key on doc_id
+    (co-partitionable; AQE plans them off one exchange)."""
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull()
+        & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
+    )
+    reps = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n_terms = docs.select(
+        "doc_id",
+        F.size(terms_col(F.col("text"))).cast("long").alias("n_terms"),
+    )
+    kept = (
+        docs.select("doc_id")
+        .join(reps, "doc_id")
+        .join(_lang_pred_df(docs), "doc_id")
+        .filter(F.col("lang_pred") == "en")
+        .join(_quality_df(docs).select("doc_id", "quality"), "doc_id")
+        .filter(F.col("quality") >= F.lit(SHARD_QUALITY_MIN))
+        .join(n_terms, "doc_id")
+        .filter(F.col("n_terms") >= F.lit(SHARD_MIN_TERMS))
+    )
+    shard = (
+        _hash_col(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % F.lit(SHARD_N)
+    ).cast("int")
+    return kept.select(
+        "doc_id", "lang_pred", "quality", "n_terms",
+        shard.alias("shard_id"),
+    )
+
+
+def _sql_training_shard() -> str:
+    """Exact DuckDB twin of q_pipeline_training_shard: the same hygiene /
+    dedup / language / quality / length / shard stages over `hdocs`, with
+    the quality expression copied VERBATIM from _sql_quality (fixed
+    accumulation order: alpha term + stop term, then /2.0)."""
+    stops = _in_list(STOPWORDS)
+    lang_selects = [
+        "SELECT doc_id, 'zh' AS lang, "
+        f"CAST(length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS BIGINT) AS cnt "
+        "FROM hdocs"
+    ]
+    for lang, markers in LANG_MARKERS.items():
+        lst = _in_list(markers)
+        lang_selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"CAST(len(list_filter(string_split_regex(lower(text), '{_WS}'), "
+            f"t -> t IN ({lst}))) AS BIGINT) AS cnt FROM hdocs"
+        )
+    lang_union = " UNION ALL ".join(lang_selects)
+    horner = _hex2int_sql("md5('shard:' || CAST(h.doc_id AS VARCHAR))")
+    return f"""
+WITH hdocs AS (
+    SELECT * FROM documents
+    WHERE text IS NOT NULL
+      AND regexp_replace(text, '{BLANK_CLASS}', '', 'g') <> ''
+),
+toks AS ({tokens_cte_sql("hdocs")}),
+tn AS (SELECT doc_id, COUNT(*) AS n_terms FROM toks GROUP BY 1),
+reps AS (SELECT MIN(doc_id) AS doc_id FROM hdocs GROUP BY md5(text)),
+lscores AS ({lang_union}),
+lang AS (
+    SELECT doc_id, lang AS lang_pred FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, lang ASC) AS rn
+        FROM lscores
+    ) WHERE rn = 1
+),
+qual AS (
+    SELECT doc_id,
+           (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+            + len(list_filter(string_split_regex(lower(text), '{_WS}'),
+                  t -> t <> '' AND t IN ({stops}))) * 1.0
+              / len(list_filter(string_split_regex(lower(text), '{_WS}'),
+                    t -> t <> ''))) / 2.0 AS quality
+    FROM hdocs
+)
+SELECT h.doc_id, l.lang_pred, q.quality,
+       CAST(COALESCE(tn.n_terms, 0) AS BIGINT) AS n_terms,
+       CAST({horner} % {SHARD_N} AS INT) AS shard_id
+FROM hdocs h
+JOIN reps r ON r.doc_id = h.doc_id
+JOIN lang l ON l.doc_id = h.doc_id
+JOIN qual q ON q.doc_id = h.doc_id
+LEFT JOIN tn ON tn.doc_id = h.doc_id
+WHERE l.lang_pred = 'en'
+  AND q.quality >= {SHARD_QUALITY_MIN}::DOUBLE
+  AND COALESCE(tn.n_terms, 0) >= {SHARD_MIN_TERMS}
 """
 
 
@@ -2346,6 +2474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
+    "pipeline_training_shard": q_pipeline_training_shard,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_json": q_events_json,
@@ -2431,6 +2560,7 @@ ORACLES: dict[str, str] = {
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality(),
     "token_counts": _sql_token_counts(),
+    "pipeline_training_shard": _sql_training_shard(),
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_json": SQL_EVENTS_JSON,
