@@ -1536,41 +1536,44 @@ GROUP BY d.doc_id
 # ---------------------------------------------------------------------------
 # Text analysis ops
 # ---------------------------------------------------------------------------
-def _lang_pred_df(docs: DataFrame) -> DataFrame:
-    """Heuristic language ID core: marker-stopword hit counts per language
-    + CJK character count; argmax with (count desc, lang asc) tie-break.
-    Returns (doc_id, lang_pred). Shared by q_lang_id and the composed
-    training-shard pipeline."""
+def _lang_pred_col() -> F.Column:
+    """Heuristic language-ID core as a PURE per-row expression over
+    `text`: marker-stopword hit counts per language + CJK character
+    count; argmax with (count desc, lang asc) tie-break. The argmax is
+    array_max over orderable structs (cnt, -lang_rank) — no explode, no
+    window, no shuffle: whole-stage codegen end to end, so at 100 TB
+    language ID rides the scan for free. Shared by q_lang_id and the
+    composed training-shard pipeline; equality with the oracle's
+    ROW_NUMBER formulation holds because max(cnt, -rank) picks the same
+    winner as ORDER BY cnt DESC, lang ASC."""
     toks = F.split(F.lower(F.col("text")), _WS)
     cjk = F.length(F.regexp_replace(F.col("text"), f"[^{_CJK}]", ""))
 
     def _marker_count(markers):
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
-    scores = [
-        F.struct(F.lit("zh").alias("lang"), cjk.cast("long").alias("cnt"))
-    ] + [
+    langs = sorted(["zh", *LANG_MARKERS])
+    rank = {lang: i for i, lang in enumerate(langs)}
+    cnts = {"zh": cjk.cast("long")}
+    for lang, markers in LANG_MARKERS.items():
+        cnts[lang] = _marker_count(markers).cast("long")
+    entries = [
         F.struct(
+            cnts[lang].alias("cnt"),
+            F.lit(-rank[lang]).alias("nr"),
             F.lit(lang).alias("lang"),
-            _marker_count(markers).cast("long").alias("cnt"),
         )
-        for lang, markers in LANG_MARKERS.items()
+        for lang in langs
     ]
-    exploded = docs.select(
-        "doc_id", F.explode(F.array(*scores)).alias("s")
-    ).select("doc_id", "s.lang", "s.cnt")
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("lang"))
-    return (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("lang_pred"))
-    )
+    return F.array_max(F.array(*entries)).getField("lang")
 
 
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID: marker-stopword hit counts per language +
     CJK character count; argmax with (count desc, lang asc) tie-break."""
-    return _lang_pred_df(_docs(spark, sf_dir))
+    return _docs(spark, sf_dir).select(
+        "doc_id", _lang_pred_col().alias("lang_pred")
+    )
 
 
 def _sql_lang_id() -> str:
@@ -1598,11 +1601,12 @@ SELECT doc_id, lang AS lang_pred FROM ranked WHERE rn = 1
 """
 
 
-def _quality_df(docs: DataFrame) -> DataFrame:
-    """Quality-scoring core: alpha ratio + stopword ratio -> linear score.
-    All inputs are exact integer counts; divisions are IEEE-exact.
-    Returns (doc_id, n_tokens, alpha_ratio, stop_ratio, quality). Shared
-    by q_quality_score and the composed training-shard pipeline."""
+def _quality_cols() -> dict[str, F.Column]:
+    """Quality-scoring core as PURE per-row expressions over `text`:
+    alpha ratio + stopword ratio -> linear score. All inputs are exact
+    integer counts; divisions are IEEE-exact and the accumulation order
+    (alpha term + stop term, then /2.0) is mirrored literally in the SQL
+    twins. Shared by q_quality_score and the composed pipeline."""
     toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != F.lit(""))
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -1611,18 +1615,20 @@ def _quality_df(docs: DataFrame) -> DataFrame:
     alpha_ratio = n_alpha * F.lit(1.0) / n_chars_c
     stop_ratio = n_stop * F.lit(1.0) / n_tok
     quality = (alpha_ratio + stop_ratio) / F.lit(2.0)
-    return docs.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        alpha_ratio.alias("alpha_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        quality.alias("quality"),
-    )
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "alpha_ratio": alpha_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": quality,
+    }
 
 
 def q_quality_score(spark, sf_dir):
     """Quality scoring: alpha ratio + stopword ratio -> linear score."""
-    return _quality_df(_docs(spark, sf_dir))
+    cols = _quality_cols()
+    return _docs(spark, sf_dir).select(
+        "doc_id", *(c.alias(n) for n, c in cols.items())
+    )
 
 
 def _sql_quality() -> str:
@@ -1691,40 +1697,43 @@ def q_pipeline_training_shard(spark, sf_dir):
       5. length gate (analyzer terms >= min),
       6. deterministic shard assignment (portable md5-60bit % N) so a
          downstream writer partitions shards without another shuffle.
-    Every stage reuses an individually-oracled core (_lang_pred_df,
-    _quality_df, terms_col, _hash_col) — this entry proves they COMPOSE
-    bit-exactly, not just pass alone. All joins key on doc_id
-    (co-partitionable; AQE plans them off one exchange)."""
+    Every stage reuses an individually-oracled core (_lang_pred_col,
+    _quality_cols, terms_col, _hash_col) — this entry proves they
+    COMPOSE bit-exactly, not just pass alone. Plan shape: ONE pass over
+    the corpus (language, quality, and length are per-row expressions
+    riding the scan in whole-stage codegen) into ONE shuffle (the
+    md5(text) window that keeps the min-doc_id representative); the
+    gates filter inside the post-shuffle stage. No joins, no second
+    scan — the plan a 100 TB prep job needs."""
     docs = _docs(spark, sf_dir).filter(
         F.col("text").isNotNull()
         & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
     )
-    reps = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    n_terms = docs.select(
+    quality = _quality_cols()["quality"]
+    enriched = docs.select(
         "doc_id",
+        F.md5("text").alias("text_hash"),
+        _lang_pred_col().alias("lang_pred"),
+        quality.alias("quality"),
         F.size(terms_col(F.col("text"))).cast("long").alias("n_terms"),
     )
-    kept = (
-        docs.select("doc_id")
-        .join(reps, "doc_id")
-        .join(_lang_pred_df(docs), "doc_id")
-        .filter(F.col("lang_pred") == "en")
-        .join(_quality_df(docs).select("doc_id", "quality"), "doc_id")
-        .filter(F.col("quality") >= F.lit(SHARD_QUALITY_MIN))
-        .join(n_terms, "doc_id")
-        .filter(F.col("n_terms") >= F.lit(SHARD_MIN_TERMS))
-    )
+    w = Window.partitionBy("text_hash").orderBy(F.asc("doc_id"))
     shard = (
         _hash_col(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
         % F.lit(SHARD_N)
     ).cast("int")
-    return kept.select(
-        "doc_id", "lang_pred", "quality", "n_terms",
-        shard.alias("shard_id"),
+    return (
+        enriched.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("lang_pred") == "en")
+            & (F.col("quality") >= F.lit(SHARD_QUALITY_MIN))
+            & (F.col("n_terms") >= F.lit(SHARD_MIN_TERMS))
+        )
+        .select(
+            "doc_id", "lang_pred", "quality", "n_terms",
+            shard.alias("shard_id"),
+        )
     )
 
 
