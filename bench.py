@@ -93,6 +93,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             EQ.q_bm25_topk(spark, sf_dir).collect()
         ),
         "dedup_lsh_pairs": lambda: EQ.q_lsh_pairs(spark, sf_dir).count(),
+        "training_shard_prep": lambda: EQ.q_pipeline_training_shard(
+            spark, sf_dir
+        ).count(),
         "dedup_simhash": lambda: EQ.q_simhash(spark, sf_dir).count(),
         "cosine_topk": lambda: len(EQ.q_cosine_topk(spark, sf_dir).collect()),
         "term_stats": lambda: EQ.q_term_stats(spark, sf_dir).count(),

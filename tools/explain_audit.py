@@ -54,6 +54,10 @@ def main() -> None:
     show("dataframe-native BM25", EQ.q_bm25_topk(spark, sf_dir))
     show("LSH candidate pairs", EQ.q_lsh_pairs(spark, sf_dir))
     show("cosine top-k", EQ.q_cosine_topk(spark, sf_dir))
+    show(
+        "training-shard prep (1 scan, 1 exchange)",
+        EQ.q_pipeline_training_shard(spark, sf_dir),
+    )
     spark.stop()
 
 
