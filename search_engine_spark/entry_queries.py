@@ -1576,29 +1576,39 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-def _sql_lang_id() -> str:
+def _lang_scores_union_sql(table: str) -> str:
+    """Per-(doc, lang) marker-count SELECT union over ``table`` — the one
+    definition both the lang_id oracle and the composed training-shard
+    oracle build from (table-parameterized like tokens_cte_sql)."""
     selects = [
         "SELECT doc_id, 'zh' AS lang, "
         f"CAST(length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS BIGINT) AS cnt "
-        "FROM documents"
+        f"FROM {table}"
     ]
     for lang, markers in LANG_MARKERS.items():
         lst = _in_list(markers)
         selects.append(
             f"SELECT doc_id, '{lang}' AS lang, "
             f"CAST(len(list_filter(string_split_regex(lower(text), '{_WS}'), "
-            f"t -> t IN ({lst}))) AS BIGINT) AS cnt FROM documents"
+            f"t -> t IN ({lst}))) AS BIGINT) AS cnt FROM {table}"
         )
-    union = " UNION ALL ".join(selects)
+    return " UNION ALL ".join(selects)
+
+
+def _lang_pred_cte_sql(table: str) -> str:
+    """(doc_id, lang_pred) winner CTE body over ``table``."""
     return f"""
-WITH scores AS ({union}),
-ranked AS (
-    SELECT doc_id, lang,
-           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang ASC) AS rn
-    FROM scores
-)
-SELECT doc_id, lang AS lang_pred FROM ranked WHERE rn = 1
+    SELECT doc_id, lang AS lang_pred FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, lang ASC) AS rn
+        FROM ({_lang_scores_union_sql(table)})
+    ) WHERE rn = 1
 """
+
+
+def _sql_lang_id() -> str:
+    return f"SELECT doc_id, lang_pred FROM ({_lang_pred_cte_sql('documents')})"
 
 
 def _quality_cols() -> dict[str, F.Column]:
@@ -1631,22 +1641,34 @@ def q_quality_score(spark, sf_dir):
     )
 
 
-def _sql_quality() -> str:
-    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+# quality accumulation order (alpha term + stop term, then /2.0) mirrors
+# _quality_cols literally; 1.0/2.0 are dyadic-exact so the bare literals'
+# DECIMAL path and Spark's DOUBLE path agree bit-for-bit (gate-proven)
+_QUALITY_EXPR = "(n_alpha * 1.0 / n_c + n_stop * 1.0 / n_tok) / 2.0"
+
+
+def _quality_base_cte_sql(table: str) -> str:
+    """Exact-integer quality inputs over ``table`` — shared by the
+    quality_score oracle and the composed training-shard oracle."""
+    stops = _in_list(STOPWORDS)
     return f"""
-WITH base AS (
     SELECT doc_id,
            len(list_filter(string_split_regex(lower(text), '{_WS}'), t -> t <> '')) AS n_tok,
            len(list_filter(string_split_regex(lower(text), '{_WS}'),
                t -> t <> '' AND t IN ({stops}))) AS n_stop,
            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
            length(text) AS n_c
-    FROM documents
-)
+    FROM {table}
+"""
+
+
+def _sql_quality() -> str:
+    return f"""
+WITH base AS ({_quality_base_cte_sql('documents')})
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
        n_alpha * 1.0 / n_c AS alpha_ratio,
        n_stop * 1.0 / n_tok AS stop_ratio,
-       (n_alpha * 1.0 / n_c + n_stop * 1.0 / n_tok) / 2.0 AS quality
+       {_QUALITY_EXPR} AS quality
 FROM base
 """
 
@@ -1739,23 +1761,10 @@ def q_pipeline_training_shard(spark, sf_dir):
 
 def _sql_training_shard() -> str:
     """Exact DuckDB twin of q_pipeline_training_shard: the same hygiene /
-    dedup / language / quality / length / shard stages over `hdocs`, with
-    the quality expression copied VERBATIM from _sql_quality (fixed
-    accumulation order: alpha term + stop term, then /2.0)."""
-    stops = _in_list(STOPWORDS)
-    lang_selects = [
-        "SELECT doc_id, 'zh' AS lang, "
-        f"CAST(length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS BIGINT) AS cnt "
-        "FROM hdocs"
-    ]
-    for lang, markers in LANG_MARKERS.items():
-        lst = _in_list(markers)
-        lang_selects.append(
-            f"SELECT doc_id, '{lang}' AS lang, "
-            f"CAST(len(list_filter(string_split_regex(lower(text), '{_WS}'), "
-            f"t -> t IN ({lst}))) AS BIGINT) AS cnt FROM hdocs"
-        )
-    lang_union = " UNION ALL ".join(lang_selects)
+    dedup / language / quality / length / shard stages over `hdocs`,
+    built from the SAME table-parameterized fragments as the individual
+    oracles (_lang_pred_cte_sql, _quality_base_cte_sql + _QUALITY_EXPR,
+    tokens_cte_sql) so the twins cannot drift apart."""
     horner = _hex2int_sql("md5('shard:' || CAST(h.doc_id AS VARCHAR))")
     return f"""
 WITH hdocs AS (
@@ -1766,23 +1775,10 @@ WITH hdocs AS (
 toks AS ({tokens_cte_sql("hdocs")}),
 tn AS (SELECT doc_id, COUNT(*) AS n_terms FROM toks GROUP BY 1),
 reps AS (SELECT MIN(doc_id) AS doc_id FROM hdocs GROUP BY md5(text)),
-lscores AS ({lang_union}),
-lang AS (
-    SELECT doc_id, lang AS lang_pred FROM (
-        SELECT doc_id, lang,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY cnt DESC, lang ASC) AS rn
-        FROM lscores
-    ) WHERE rn = 1
-),
+lang AS ({_lang_pred_cte_sql("hdocs")}),
 qual AS (
-    SELECT doc_id,
-           (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
-            + len(list_filter(string_split_regex(lower(text), '{_WS}'),
-                  t -> t <> '' AND t IN ({stops}))) * 1.0
-              / len(list_filter(string_split_regex(lower(text), '{_WS}'),
-                    t -> t <> ''))) / 2.0 AS quality
-    FROM hdocs
+    SELECT doc_id, {_QUALITY_EXPR} AS quality
+    FROM ({_quality_base_cte_sql("hdocs")})
 )
 SELECT h.doc_id, l.lang_pred, q.quality,
        CAST(COALESCE(tn.n_terms, 0) AS BIGINT) AS n_terms,

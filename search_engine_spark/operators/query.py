@@ -29,6 +29,7 @@ Scoring modes:
 from __future__ import annotations
 
 import math
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -308,19 +309,28 @@ class SearchEngine:
             "left_anti",
         )
         cap = self.SCOPE_MAX_RANGES
-        lo_rows = starts.orderBy("doc_id").limit(cap + 1).collect()
-        if len(lo_rows) > cap:
+        # ONE driver job for both boundary sets (the read path is
+        # latency-bound; two sequential collects would double the cold
+        # scope-lookup cost). In any doc_id-ordered prefix #starts >=
+        # #ends, so a truncated collect of 2*(cap+1) rows always shows
+        # > cap starts when the cap is exceeded.
+        rows = (
+            starts.select("doc_id", F.lit(1).alias("is_start"))
+            .unionByName(ends.select("doc_id", F.lit(0).alias("is_start")))
+            .orderBy("doc_id", F.desc("is_start"))
+            .limit(2 * (cap + 1))
+            .collect()
+        )
+        lo_ids = [int(r["doc_id"]) for r in rows if r["is_start"]]
+        hi_ids = [int(r["doc_id"]) for r in rows if not r["is_start"]]
+        if len(lo_ids) > cap:
             raise RuntimeError(
                 f"scope '{scope}' spans more than {cap} doc_id runs — "
                 "the per-batch contiguity invariant is broken (or the "
                 "index has seen thousands of incremental batches); run "
                 "compact_index to restore a single dense ordering"
             )
-        hi_rows = ends.orderBy("doc_id").limit(cap + 1).collect()
-        runs = [
-            (int(lo["doc_id"]), int(hi["doc_id"]))
-            for lo, hi in zip(lo_rows, hi_rows)
-        ]
+        runs = list(zip(lo_ids, hi_ids))
         result = self._merge_spans(runs) if runs else None
         self._ranges_cache[key] = result
         return result
@@ -374,6 +384,17 @@ class SearchEngine:
                 c = (F.col("first_doc_id") <= hi) & (F.col("last_doc_id") >= lo)
                 overlap = c if overlap is None else (overlap | c)
             blocks = blocks.filter(overlap)
+        elif ranges:
+            # no silent caps: the post-decode numpy mask keeps results
+            # exact, but every block of every term will now be scanned
+            warnings.warn(
+                f"{len(ranges)} doc_id ranges exceed "
+                f"PRUNE_MAX_FILTER_RANGES={self.PRUNE_MAX_FILTER_RANGES}; "
+                "row-group pushdown dropped (results stay exact via the "
+                "decode-side mask). Many incremental batches? "
+                "compact_index restores dense ordering.",
+                stacklevel=2,
+            )
         blocks = blocks.select("term", "doc_ids", "tfs", "dls")
 
         lo_arr = np.array([r[0] for r in ranges], dtype=np.int64) if ranges else None
