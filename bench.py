@@ -291,6 +291,73 @@ def _scaling_stage_a(cpus: int) -> dict:
     }
 
 
+def _scaling_pipeline(cpus: int) -> dict:
+    """The composed training-shard prep funnel (hygiene -> exact dedup ->
+    language gate -> quality gate -> length gate -> shard id; see
+    entry_queries.q_pipeline_training_shard) over the big scaling corpus,
+    materialized through the `noop` sink. The plan is ONE scan + ONE
+    shuffle with every gate a per-row JVM codegen expression — the
+    workload class the north rule's >=0.8 criterion is most directly
+    about for data prep, with zero Python workers to hit this box's
+    Arrow bandwidth ceiling."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import entry_queries as EQ
+    from search_engine_spark.functions.analyzer import terms_col
+    from search_engine_spark.operators.index_build import BLANK_CLASS
+
+    spark = get_spark(
+        app_name=f"pipe{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": f"{SCALE_DIR}/sparktmp"},
+    )
+    turns = spark.read.parquet(SCALE_CORPUS).filter(
+        F.col("text").isNotNull()
+        & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
+    )
+    quality = EQ._quality_cols()["quality"]
+    enriched = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.md5("text").alias("text_hash"),
+        EQ._lang_pred_col().alias("lang_pred"),
+        quality.alias("quality"),
+        F.size(terms_col(F.col("text"))).cast("long").alias("n_terms"),
+    )
+    w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
+    shard = (
+        EQ._hash_col(
+            F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx"))
+        )
+        % F.lit(EQ.SHARD_N)
+    ).cast("int")
+    out = (
+        enriched.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("lang_pred") == "en")
+            & (F.col("quality") >= F.lit(EQ.SHARD_QUALITY_MIN))
+            & (F.col("n_terms") >= F.lit(EQ.SHARD_MIN_TERMS))
+        )
+        .select(
+            "conv_id", "turn_idx", "lang_pred", "quality", "n_terms",
+            shard.alias("shard_id"),
+        )
+    )
+    s0 = _read_proc_stat()
+    t0 = time.time()
+    out.write.format("noop").mode("overwrite").save()
+    sec = time.time() - t0
+    s1 = _read_proc_stat()
+    spark.stop()
+    return {
+        "build_sec": round(sec, 2),  # keyed like the full build for reuse
+        "steal_sec": round((s1[7] - s0[7]) / 100.0, 1),
+    }
+
+
 def _node_emulation_opts(cpus: int) -> str:
     """Per-leg JVM options that make a local[N] leg behave like an N-core
     NODE, not N task threads on a 32-core box. Without
@@ -952,6 +1019,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-one", type=int, default=None,
                     help="internal: one scaling measurement in this process")
+    ap.add_argument("--scale-pipeline-one", type=int, default=None,
+                    help="one training-shard-pipeline leg at local[N]")
     ap.add_argument("--scale-stage-a-one", type=int, default=None,
                     help="internal: one PURE-JVM stage-A measurement")
     ap.add_argument("--scale-attrib", action="store_true",
@@ -976,6 +1045,11 @@ def main() -> None:
         _ensure_scaling_corpus()
         r = _scaling_stage_a(args.scale_stage_a_one)
         r["cores"] = args.scale_stage_a_one
+        print(json.dumps(r))
+    elif args.scale_pipeline_one is not None:
+        _ensure_scaling_corpus()
+        r = _scaling_pipeline(args.scale_pipeline_one)
+        r["cores"] = args.scale_pipeline_one
         print(json.dumps(r))
     elif args.scale_attrib:
         print(json.dumps(run_attrib()))
