@@ -311,19 +311,27 @@ def _scaling_pipeline(cpus: int) -> dict:
         app_name=f"pipe{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.local.dir": f"{SCALE_DIR}/sparktmp"},
+        extra_conf={
+            "spark.local.dir": f"{SCALE_DIR}/sparktmp",
+            # ALL of this job's per-row work rides the scan stage, so
+            # split count IS the parallelism ceiling: the ~358 MB corpus
+            # packs into 4 splits at the 128 MB default, silently capping
+            # the 16-core leg at 4-way (the PERF.md input-split lesson).
+            # 8 MB splits give both legs the same ~45-way layout — at
+            # 100 TB any cluster size has thousands of splits.
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
     )
     turns = spark.read.parquet(SCALE_CORPUS).filter(
         F.col("text").isNotNull()
         & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
-    )
-    quality = EQ._quality_cols()["quality"]
+    ).withColumn("_tc", EQ._token_counts_struct())
     enriched = turns.select(
         "conv_id",
         "turn_idx",
         F.md5("text").alias("text_hash"),
-        EQ._lang_pred_col().alias("lang_pred"),
-        quality.alias("quality"),
+        EQ._lang_pred_from(F.col("_tc")).alias("lang_pred"),
+        EQ._quality_from(F.col("_tc"))["quality"].alias("quality"),
         F.size(terms_col(F.col("text"))).cast("long").alias("n_terms"),
     )
     w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
@@ -352,9 +360,11 @@ def _scaling_pipeline(cpus: int) -> dict:
     sec = time.time() - t0
     s1 = _read_proc_stat()
     spark.stop()
+    busy = ((s1[0] - s0[0]) + (s1[1] - s0[1]) + (s1[2] - s0[2])) / 100.0
     return {
         "build_sec": round(sec, 2),  # keyed like the full build for reuse
         "steal_sec": round((s1[7] - s0[7]) / 100.0, 1),
+        "busy_cores_avg": round(busy / sec, 2),
     }
 
 

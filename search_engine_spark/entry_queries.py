@@ -42,7 +42,9 @@ from .functions.analyzer import (
     tokens_cte_sql,
     terms_col,
 )
-from .operators.index_build import B, BLANK_CLASS, K1, build_index
+from .operators.index_build import (
+    B, BLANK_CLASS, K1, build_index, nonblank_text,
+)
 from .operators.query import SearchEngine
 
 # ---------------------------------------------------------------------------
@@ -72,6 +74,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "et", "est", "les", "une"),
 }
 _CJK = f"{chr(0x4E00)}-{chr(0x9FFF)}"
+_ASCII_LETTERS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -232,9 +237,7 @@ def _tf(docs: DataFrame) -> DataFrame:
 def _clean_pred():
     """The P1 hygiene predicate (mirrors index_build.clean_transcripts).
     Built lazily — Column construction needs an active session."""
-    return F.col("text").isNotNull() & (
-        F.regexp_replace(F.col("text"), BLANK_CLASS, "") != ""
-    )
+    return nonblank_text()
 
 
 def _dl(docs: DataFrame) -> DataFrame:
@@ -380,10 +383,7 @@ def q_clean_docs(spark, sf_dir):
     """P1 hygiene filter + P6 projection (EntitySaver.java:51 analog)."""
     return (
         _docs(spark, sf_dir)
-        .filter(
-            F.col("text").isNotNull()
-            & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
-        )
+        .filter(nonblank_text())
         .select("doc_id", "lang", "source", "n_chars")
     )
 
@@ -1536,27 +1536,58 @@ GROUP BY d.doc_id
 # ---------------------------------------------------------------------------
 # Text analysis ops
 # ---------------------------------------------------------------------------
-def _lang_pred_col() -> F.Column:
-    """Heuristic language-ID core as a PURE per-row expression over
-    `text`: marker-stopword hit counts per language + CJK character
-    count; argmax with (count desc, lang asc) tie-break. The argmax is
-    array_max over orderable structs (cnt, -lang_rank) — no explode, no
-    window, no shuffle: whole-stage codegen end to end, so at 100 TB
-    language ID rides the scan for free. Shared by q_lang_id and the
-    composed training-shard pipeline; equality with the oracle's
+def _token_counts_struct() -> F.Column:
+    """Every token-set counter the text-analysis ops need, from ONE
+    split and ONE aggregate pass over the token array: per-language
+    marker hits, non-empty token count, stopword count. The naive
+    formulation (one `filter` per set, each over its own `split`) is
+    interpreted HOF evaluation per set — measured 3x slower and the
+    allocation churn that capped the funnel's multi-core scaling; this
+    single accumulator pass allocates one token array per row, total.
+    NOT inlined by CollapseProject (aggregate is non-cheap), so callers
+    can alias it once and derive many columns from the alias."""
+    toks = F.split(F.lower(F.col("text")), _WS)
+    langs = sorted(LANG_MARKERS)
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(lang) for lang in langs],
+        F.lit(0).cast("long").alias("n_stop"),
+        F.lit(0).cast("long").alias("n_tok"),
+    )
+
+    def _merge(acc, t):
+        hit = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+        return F.struct(
+            *[
+                (acc[lang] + hit(t.isin(*LANG_MARKERS[lang]))).alias(lang)
+                for lang in langs
+            ],
+            (acc["n_stop"] + hit(t.isin(*STOPWORDS))).alias("n_stop"),
+            (acc["n_tok"] + hit(t != F.lit(""))).alias("n_tok"),
+        )
+
+    return F.aggregate(toks, zero, _merge)
+
+
+def _lang_pred_from(tc: F.Column) -> F.Column:
+    """Heuristic language ID from the shared counter struct ``tc``:
+    marker hits per language + CJK character count; argmax with
+    (count desc, lang asc) tie-break. The argmax is array_max over
+    orderable structs (cnt, -lang_rank) — no explode, no window, no
+    shuffle: language ID rides the scan. Equality with the oracle's
     ROW_NUMBER formulation holds because max(cnt, -rank) picks the same
     winner as ORDER BY cnt DESC, lang ASC."""
-    toks = F.split(F.lower(F.col("text")), _WS)
-    cjk = F.length(F.regexp_replace(F.col("text"), f"[^{_CJK}]", ""))
-
-    def _marker_count(markers):
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
-
+    # regexp_count of the POSITIVE class, not length(regexp_replace of
+    # the negated class): replace-all rewrites every non-CJK char through
+    # Matcher.appendReplacement + StringBuilder (O(len) regex-engine calls
+    # per row — jstack'd as the funnel's hot spot, and two such patterns
+    # in one projection go megamorphic); counting matches is one scan
+    # with zero matches on ASCII text. Same value (chars in the range).
+    cjk = F.regexp_count(F.col("text"), F.lit(f"[{_CJK}]"))
     langs = sorted(["zh", *LANG_MARKERS])
     rank = {lang: i for i, lang in enumerate(langs)}
     cnts = {"zh": cjk.cast("long")}
-    for lang, markers in LANG_MARKERS.items():
-        cnts[lang] = _marker_count(markers).cast("long")
+    for lang in LANG_MARKERS:
+        cnts[lang] = tc[lang]
     entries = [
         F.struct(
             cnts[lang].alias("cnt"),
@@ -1571,8 +1602,10 @@ def _lang_pred_col() -> F.Column:
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID: marker-stopword hit counts per language +
     CJK character count; argmax with (count desc, lang asc) tie-break."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", _lang_pred_col().alias("lang_pred")
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("_tc", _token_counts_struct())
+        .select("doc_id", _lang_pred_from(F.col("_tc")).alias("lang_pred"))
     )
 
 
@@ -1582,7 +1615,7 @@ def _lang_scores_union_sql(table: str) -> str:
     oracle build from (table-parameterized like tokens_cte_sql)."""
     selects = [
         "SELECT doc_id, 'zh' AS lang, "
-        f"CAST(length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS BIGINT) AS cnt "
+        f"CAST(len(regexp_extract_all(text, '[{_CJK}]')) AS BIGINT) AS cnt "
         f"FROM {table}"
     ]
     for lang, markers in LANG_MARKERS.items():
@@ -1611,22 +1644,28 @@ def _sql_lang_id() -> str:
     return f"SELECT doc_id, lang_pred FROM ({_lang_pred_cte_sql('documents')})"
 
 
-def _quality_cols() -> dict[str, F.Column]:
-    """Quality-scoring core as PURE per-row expressions over `text`:
+def _quality_from(tc: F.Column) -> dict[str, F.Column]:
+    """Quality-scoring core from the shared counter struct ``tc``:
     alpha ratio + stopword ratio -> linear score. All inputs are exact
     integer counts; divisions are IEEE-exact and the accumulation order
     (alpha term + stop term, then /2.0) is mirrored literally in the SQL
-    twins. Shared by q_quality_score and the composed pipeline."""
-    toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != F.lit(""))
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    twins. Shared by q_quality_score and the composed pipeline. A
+    stopword is never the empty string, so counting hits over all split
+    pieces equals counting over non-empty tokens."""
+    n_tok = tc["n_tok"]
+    n_stop = tc["n_stop"]
+    # translate (table lookup per char, no regex) instead of
+    # length(regexp_replace('[^A-Za-z]','')) — see the cjk note in
+    # _lang_pred_from; same value (count of ASCII letters)
+    n_alpha = F.length(F.col("text")) - F.length(
+        F.translate(F.col("text"), _ASCII_LETTERS, "")
+    )
     n_chars_c = F.length(F.col("text"))
     alpha_ratio = n_alpha * F.lit(1.0) / n_chars_c
     stop_ratio = n_stop * F.lit(1.0) / n_tok
     quality = (alpha_ratio + stop_ratio) / F.lit(2.0)
     return {
-        "n_tokens": n_tok.cast("long"),
+        "n_tokens": n_tok,
         "alpha_ratio": alpha_ratio,
         "stop_ratio": stop_ratio,
         "quality": quality,
@@ -1635,14 +1674,13 @@ def _quality_cols() -> dict[str, F.Column]:
 
 def q_quality_score(spark, sf_dir):
     """Quality scoring: alpha ratio + stopword ratio -> linear score."""
-    cols = _quality_cols()
-    return _docs(spark, sf_dir).select(
-        "doc_id", *(c.alias(n) for n, c in cols.items())
-    )
+    docs = _docs(spark, sf_dir).withColumn("_tc", _token_counts_struct())
+    cols = _quality_from(F.col("_tc"))
+    return docs.select("doc_id", *(c.alias(n) for n, c in cols.items()))
 
 
 # quality accumulation order (alpha term + stop term, then /2.0) mirrors
-# _quality_cols literally; 1.0/2.0 are dyadic-exact so the bare literals'
+# _quality_from literally; 1.0/2.0 are dyadic-exact so the bare literals'
 # DECIMAL path and Spark's DOUBLE path agree bit-for-bit (gate-proven)
 _QUALITY_EXPR = "(n_alpha * 1.0 / n_c + n_stop * 1.0 / n_tok) / 2.0"
 
@@ -1656,7 +1694,7 @@ def _quality_base_cte_sql(table: str) -> str:
            len(list_filter(string_split_regex(lower(text), '{_WS}'), t -> t <> '')) AS n_tok,
            len(list_filter(string_split_regex(lower(text), '{_WS}'),
                t -> t <> '' AND t IN ({stops}))) AS n_stop,
-           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(text) - length(translate(text, '{_ASCII_LETTERS}', '')) AS n_alpha,
            length(text) AS n_c
     FROM {table}
 """
@@ -1719,24 +1757,21 @@ def q_pipeline_training_shard(spark, sf_dir):
       5. length gate (analyzer terms >= min),
       6. deterministic shard assignment (portable md5-60bit % N) so a
          downstream writer partitions shards without another shuffle.
-    Every stage reuses an individually-oracled core (_lang_pred_col,
-    _quality_cols, terms_col, _hash_col) — this entry proves they
+    Every stage reuses an individually-oracled core (_token_counts_struct
+    + _lang_pred_from / _quality_from, terms_col, _hash_col) — this entry
+    proves they
     COMPOSE bit-exactly, not just pass alone. Plan shape: ONE pass over
     the corpus (language, quality, and length are per-row expressions
     riding the scan in whole-stage codegen) into ONE shuffle (the
     md5(text) window that keeps the min-doc_id representative); the
     gates filter inside the post-shuffle stage. No joins, no second
     scan — the plan a 100 TB prep job needs."""
-    docs = _docs(spark, sf_dir).filter(
-        F.col("text").isNotNull()
-        & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
-    )
-    quality = _quality_cols()["quality"]
+    docs = _docs(spark, sf_dir).filter(nonblank_text()).withColumn("_tc", _token_counts_struct())
     enriched = docs.select(
         "doc_id",
         F.md5("text").alias("text_hash"),
-        _lang_pred_col().alias("lang_pred"),
-        quality.alias("quality"),
+        _lang_pred_from(F.col("_tc")).alias("lang_pred"),
+        _quality_from(F.col("_tc"))["quality"].alias("quality"),
         F.size(terms_col(F.col("text"))).cast("long").alias("n_terms"),
     )
     w = Window.partitionBy("text_hash").orderBy(F.asc("doc_id"))

@@ -96,6 +96,20 @@ def conform_transcripts(transcripts: DataFrame) -> DataFrame:
 # adds unicode spaces; the oracle gate hash-compares results across all
 # three engines, so each must apply this identical class.
 BLANK_CLASS = r"[ \t\n\r\f\x0B]"
+# the same contract as an EXISTENCE probe: "has at least one non-blank
+# char" == "stripping every blank char leaves something". rlike stops at
+# the first match, so the hygiene filter costs O(1) per typical row
+# instead of one Matcher.appendReplacement call per whitespace char
+# (regexp_replace rebuilds the whole string just to compare it to '').
+NONBLANK_CLASS = r"[^ \t\n\r\f\x0B]"
+
+
+def nonblank_text() -> F.Column:
+    """The P1 hygiene predicate (text IS NOT NULL AND has a non-blank
+    char) — ONE definition for the build path and every gate entry;
+    tests/test_index_build.py proves it equal to the regexp_replace
+    formulation the DuckDB twins use."""
+    return F.col("text").isNotNull() & F.col("text").rlike(NONBLANK_CLASS)
 
 
 def clean_transcripts(transcripts: DataFrame) -> DataFrame:
@@ -103,10 +117,7 @@ def clean_transcripts(transcripts: DataFrame) -> DataFrame:
     transcripts = conform_transcripts(transcripts)
     # NB: regexp-based blank test, not trim() — Spark trim strips only
     # ASCII space while the contract treats whitespace-only text as blank.
-    return transcripts.filter(
-        F.col("text").isNotNull()
-        & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
-    )
+    return transcripts.filter(nonblank_text())
 
 
 # above this partition count the per-partition offsets ride a broadcast
