@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -33,9 +34,26 @@ def main() -> None:
     ap.add_argument("--part-concurrency", type=int, default=1)
     ap.add_argument("--index-version", default="v1")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--prewarm",
+        action="store_true",
+        help="spin up the executor Python worker pool (pandas import) "
+        "before timing starts — steady-state cluster executors are warm, "
+        "so cold-start worker spawn is not part of build throughput",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="build_index")
+    if args.prewarm:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        cores = int(spark.conf.get("spark.cores.max", "32"))
+        warm = F.pandas_udf(lambda s: s, LongType())
+        spark.range(0, cores * 1000, 1, cores * 2).select(
+            warm(F.col("id"))
+        ).count()
+    t0 = time.time()
     result = build_index(
         spark,
         spark.read.parquet(args.input),
@@ -48,7 +66,9 @@ def main() -> None:
         index_version=args.index_version,
         resume=not args.no_resume,
     )
-    print(json.dumps(result.__dict__))
+    payload = dict(result.__dict__)
+    payload["build_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -31,28 +31,45 @@ def get_spark(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     so the same entry points run unchanged under spark-submit on a real
-    cluster (where ``master`` is injected by the launcher and this arg is
-    left None with ``spark.master`` already set).
+    cluster: when the process was launched by spark-submit (detected via
+    the Py4J gateway env the launcher injects) and no explicit ``master``
+    was passed, the launcher-provided ``spark.master`` is left untouched —
+    calling ``builder.master()`` here would silently override
+    ``--master spark://...`` and run the whole job in the driver JVM.
+    Likewise the driver-JVM settings (memory, GC flags) and the
+    shuffle-partition default are skipped under spark-submit: the driver
+    JVM is already up, and the cluster sizes shuffle partitions via
+    ``--conf`` (~2-3x total executor cores; AQE coalesces the tail).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None:
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and master is not None:
         # local: one shuffle partition per core; cluster: override via --conf
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if n in ("*", "") else int(n)
 
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    if not under_submit:
+        # Driver-JVM settings only apply when THIS process launches the
+        # JVM (local mode / plain `python`); under spark-submit the driver
+        # is already up and these are supplied on the submit command line.
         # Batch-throughput GC: Spark on Java 17 defaults to G1, which
         # trades throughput for pause time; an index build has no latency
         # SLO, and ParallelGC measurably cuts the single-JVM CPU inflation
@@ -60,13 +77,12 @@ def get_spark(
         # SPARK_GRAFT_JAVA_OPTS="" / your own flags. Local mode runs
         # executors in the driver JVM, so driver opts govern the whole box;
         # on a cluster, mirror this in spark.executor.extraJavaOptions.
-        .config(
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
+        ).config(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
-        )
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-    )
+        ).config("spark.ui.enabled", "false")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
