@@ -478,6 +478,11 @@ def _scaling_cluster(total_cores: int) -> dict:
         if run.returncode != 0:
             print(run.stderr[-4000:], file=sys.stderr)
             raise RuntimeError("spark-submit failed")
+        # spark-submit's PythonRunner may merge the driver's stderr into
+        # stdout — scan both streams for the stage-profile lines
+        for ln in (run.stderr + "\n" + run.stdout).splitlines():
+            if ln.startswith("[build-profile]"):
+                print(ln, file=sys.stderr, flush=True)
         result = json.loads(
             [ln for ln in run.stdout.splitlines() if ln.startswith("{")][-1]
         )

@@ -21,6 +21,24 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 
+def resolve_master(
+    master: str | None, under_submit: bool, cpus: int,
+    shuffle_partitions: int | None,
+) -> tuple[str | None, int | None]:
+    """Pure master/shuffle-partition resolution (see get_spark docstring).
+
+    Returns (master_to_set, shuffle_partitions_to_set); ``None`` means
+    "leave the launcher/conf-provided value untouched".
+    """
+    if master is None and not under_submit:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None and master is not None:
+        # local: one shuffle partition per core; cluster: override via --conf
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if n in ("*", "") else int(n)
+    return master, shuffle_partitions
+
+
 def get_spark(
     app_name: str = "search_engine_spark",
     master: str | None = None,
@@ -43,12 +61,9 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
-    if master is None and not under_submit:
-        master = f"local[{cpus}]"
-    if shuffle_partitions is None and master is not None:
-        # local: one shuffle partition per core; cluster: override via --conf
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if n in ("*", "") else int(n)
+    master, shuffle_partitions = resolve_master(
+        master, under_submit, cpus, shuffle_partitions
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)
