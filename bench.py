@@ -1152,11 +1152,15 @@ def _write_bench_md(out: dict, runs: dict, pairs) -> None:
         "  720k turns at local[8] after the fix)",
     ]
     text = "\n".join(lines) + "\n"
-    # preserve the attribution section (written by --scale-attrib between
-    # its own markers) across full-protocol rewrites
-    p = Path("BENCH.md")
-    if p.exists():
-        old = p.read_text()
+    # BENCH.md is hand-curated (cluster pair, pipeline pairs, query-path
+    # tables, run ledgers); a full-protocol rerun must not clobber it, so
+    # the auto-generated report goes to BENCH_AUTO.md. Only the
+    # --scale-attrib writer touches BENCH.md, and only between its
+    # attrib markers.
+    p = Path("BENCH_AUTO.md")
+    bench_md = Path("BENCH.md")
+    if bench_md.exists():
+        old = bench_md.read_text()
         if ATTRIB_BEGIN in old and ATTRIB_END in old:
             block = old.split(ATTRIB_BEGIN)[1].split(ATTRIB_END)[0]
             text += "\n" + ATTRIB_BEGIN + block + ATTRIB_END + "\n"
