@@ -603,7 +603,9 @@ def _scaling_query(cpus: int) -> dict:
             "spark.scheduler.mode": "FAIR",
         },
     )
-    idx = f"{SCALE_DIR}/idx_q"
+    # index dir keyed by corpus size (resume=True would silently reuse a
+    # DONE manifest built over a DIFFERENT corpus otherwise)
+    idx = f"{SCALE_DIR}/idx_q_{SCALE_CONVS}"
     transcripts = spark.read.parquet(SCALE_CORPUS)
     build_index(spark, transcripts, idx, n_parts=2, resume=True)
     eng = SearchEngine(spark, idx)
@@ -628,6 +630,64 @@ def _scaling_query(cpus: int) -> dict:
         "wall_sec": round(wall, 2),
         "qps": round(QUERY_TOTAL / wall, 2),
         "rows": n_rows,
+        "steal_sec": round((s1[7] - s0[7]) / 100.0, 1),
+    }
+
+
+REPLICA_CORES = 8  # each interactive replica is an 8-core session
+
+
+def _scaling_query_replicas(replicas: int) -> dict:
+    """Interactive-path replica STACKING probe: one solo replica
+    (separate process, local[REPLICA_CORES], QUERY_CLIENTS concurrent
+    clients — the --scale-query-one probe) establishes a baseline and
+    guarantees the index is built, then `replicas` identical processes
+    run CONCURRENTLY over the same immutable index dir. Efficiency =
+    sum(concurrent qps) / (replicas x solo qps).
+
+    Read the result carefully: on ONE box, stacked replicas re-slice the
+    same 32 cores and one DRAM, so this measures shared saturation
+    (~0.35 observed), NOT the deployment claim. The claim — interactive
+    qps scales by adding reader MACHINES over the shared immutable index
+    — is about hardware this sandbox cannot add; what the probe does
+    demonstrate is that N independent sessions can serve the same index
+    dir concurrently with zero coordination (no locks, no metadata
+    service, identical results)."""
+    import subprocess
+    from concurrent.futures import ThreadPoolExecutor
+
+    env = dict(os.environ)
+    env.setdefault(
+        "SPARK_GRAFT_JAVA_OPTS", _node_emulation_opts(REPLICA_CORES)
+    )
+
+    def one_replica() -> dict:
+        out = subprocess.run(
+            [sys.executable, str(REPO_ROOT / "bench.py"),
+             "--scale-query-one", str(REPLICA_CORES)],
+            capture_output=True, text=True, env=env, cwd=str(REPO_ROOT),
+        )
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError("replica run failed")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    solo = one_replica()  # baseline + ensures the index exists (resume)
+    s0 = _read_proc_stat()
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=replicas) as ex:
+        results = list(ex.map(lambda _: one_replica(), range(replicas)))
+    wall = time.time() - t0
+    s1 = _read_proc_stat()
+    agg_qps = round(sum(r["qps"] for r in results), 2)
+    return {
+        "replicas": replicas,
+        "replica_cores": REPLICA_CORES,
+        "solo_qps": solo["qps"],
+        "replica_qps": [r["qps"] for r in results],
+        "agg_qps": agg_qps,
+        "efficiency": round(agg_qps / (replicas * solo["qps"]), 3),
+        "wall_sec": round(wall, 2),
         "steal_sec": round((s1[7] - s0[7]) / 100.0, 1),
     }
 
@@ -1189,6 +1249,9 @@ def main() -> None:
                     help="concurrent query-throughput measurement at local[N]")
     ap.add_argument("--scale-query-batch", type=int, default=None,
                     help="batched (search_many) query throughput at local[N]")
+    ap.add_argument("--scale-query-replicas", type=int, default=None,
+                    help="interactive replica scaling: N concurrent "
+                         "8-core reader sessions over one index")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
@@ -1227,6 +1290,9 @@ def main() -> None:
     elif args.scale_query_batch is not None:
         _ensure_scaling_corpus()
         print(json.dumps(_scaling_query_batch(args.scale_query_batch)))
+    elif args.scale_query_replicas is not None:
+        _ensure_scaling_corpus()
+        print(json.dumps(_scaling_query_replicas(args.scale_query_replicas)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:
