@@ -475,11 +475,38 @@ class SearchEngine:
         max_df: int | None = None,
         conjunctive: bool = True,
         scope: str | None = None,
+        use_batch_plan: bool | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) — the rank-identity contract surface.
         ``scope`` restricts results to conversations whose conv_id starts
         with it (the reference's site-scoped search,
-        SearchServiceImpl.java:105-114) via doc_id-range pushdown."""
+        SearchServiceImpl.java:105-114) via doc_id-range pushdown.
+
+        Plan selection: by default (``use_batch_plan=None``) a plain
+        query — no offset/scope/max_df — runs as a 1-query ``search_many``
+        batch: the packed varbyte exchange + dense-numpy scoring +
+        per-partition top-k plan measures ~2.5x faster than the classic
+        row-partials pivot on hot multi-term queries (2.7 s -> 1.1 s on
+        a 2.8M-doc index at local[8]) and is bit-identical by contract
+        (enforced by tests/test_query.py both ways). Pass
+        ``use_batch_plan=False`` to force the classic plan (the
+        regression tests compare the two), or True to assert batch
+        eligibility."""
+        if use_batch_plan is None:
+            use_batch_plan = offset == 0 and scope is None and max_df is None
+        if use_batch_plan:
+            if offset != 0 or scope is not None or max_df is not None:
+                raise ValueError(
+                    "use_batch_plan=True requires offset=0, scope=None, "
+                    "max_df=None (those features ride the classic plan)"
+                )
+            return (
+                self.search_many(
+                    {"_q": query}, k=k, mode=mode, conjunctive=conjunctive
+                )
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
         empty = self.spark.createDataFrame(
             [], schema="doc_id long, score double"
         )

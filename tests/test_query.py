@@ -62,6 +62,33 @@ def test_full_search_projection(engine):
     assert res["snippet"].str.contains("<b>").all()
 
 
+@pytest.mark.parametrize(
+    "spec",
+    [q for q in QUERIES if not q.get("offset") and q.get("max_df") is None],
+    ids=[
+        q["name"]
+        for q in QUERIES
+        if not q.get("offset") and q.get("max_df") is None
+    ],
+)
+def test_batch_plan_equals_classic_plan(spec, engine):
+    """search_ids auto-routes plain queries through the packed
+    search_many plan; the two physical plans must stay bit-identical on
+    the whole (plain) reference query set."""
+    k = spec.get("k", 10)
+    fast = engine.search_ids(spec["q"], k=k, use_batch_plan=True).toPandas()
+    classic = engine.search_ids(
+        spec["q"], k=k, use_batch_plan=False
+    ).toPandas()
+    assert fast["doc_id"].tolist() == classic["doc_id"].tolist(), spec["name"]
+    assert fast["score"].tolist() == classic["score"].tolist(), spec["name"]
+
+
+def test_batch_plan_rejects_unsupported_args(engine):
+    with pytest.raises(ValueError):
+        engine.search_ids("query index", offset=5, use_batch_plan=True)
+
+
 def test_pagination_slices_consistently(engine, oracle_idx):
     full = engine.search_ids("query index", k=30).toPandas()
     page2 = engine.search_ids("query index", k=10, offset=10).toPandas()
@@ -114,7 +141,10 @@ def test_search_many_matches_sequential(engine):
             got[got["query_id"] == qid]
             .sort_values(["score", "doc_id"], ascending=[False, True])
         )
-        exp = engine.search_ids(q, k=7).toPandas()
+        # use_batch_plan=False: compare against the CLASSIC row-partials
+        # plan — search_ids now auto-routes plain queries through
+        # search_many itself, which would make this test circular
+        exp = engine.search_ids(q, k=7, use_batch_plan=False).toPandas()
         assert part["doc_id"].tolist() == exp["doc_id"].tolist(), qid
         assert part["score"].tolist() == exp["score"].tolist(), qid
     assert (got["query_id"] == "missing").sum() == 0
@@ -131,7 +161,8 @@ def test_search_many_disjunctive_and_modes(engine):
             .sort_values(["score", "doc_id"], ascending=[False, True])
         )
         exp = engine.search_ids(
-            "dup spark token", k=6, mode=mode, conjunctive=False
+            "dup spark token", k=6, mode=mode, conjunctive=False,
+            use_batch_plan=False,
         ).toPandas()
         assert got["doc_id"].tolist() == exp["doc_id"].tolist(), mode
         assert got["score"].tolist() == exp["score"].tolist(), mode
