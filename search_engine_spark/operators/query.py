@@ -181,6 +181,12 @@ class SearchEngine:
     # decoded doc_ids to the ranges so pruned docs never enter the shuffle.
     PRUNE_MAX_RARE_BLOCKS = 4096   # skip pruning when the rarest term is hot
     PRUNE_MAX_FILTER_RANGES = 64   # OR-chain size Catalyst handles happily
+    # Interactive plan routing: a plain search_ids runs the packed
+    # search_many plan only when the query's summed df (= decoded
+    # postings volume) clears this floor; below it the classic pivot
+    # plan's lower fixed cost wins. Measured crossover ~1M postings at
+    # local[8] on 717k- and 2.87M-doc corpora (BENCH.md).
+    BATCH_PLAN_MIN_POSTINGS = 1_000_000
 
     @staticmethod
     def _merge_spans(
@@ -483,17 +489,28 @@ class SearchEngine:
         SearchServiceImpl.java:105-114) via doc_id-range pushdown.
 
         Plan selection: by default (``use_batch_plan=None``) a plain
-        query — no offset/scope/max_df — runs as a 1-query ``search_many``
-        batch: the packed varbyte exchange + dense-numpy scoring +
-        per-partition top-k plan measures ~2.5x faster than the classic
-        row-partials pivot on hot multi-term queries (2.7 s -> 1.1 s on
-        a 2.8M-doc index at local[8]) and is bit-identical by contract
-        (enforced by tests/test_query.py both ways). Pass
+        query — no offset/scope/max_df — is routed by COST: the query
+        terms' summed df (the exact decoded-postings volume, already
+        memoized by the dictionary lookup) picks between the classic
+        row-partials pivot (lower fixed cost — wins small volumes) and
+        the packed varbyte exchange + dense-numpy scoring plan (flat
+        until large volumes — 4.1 s -> 1.5 s on a 7.5M-posting query
+        over a 2.8M-doc index at local[8]). Measured crossover ~1M
+        postings on both the 717k- and 2.87M-doc corpora (BENCH.md
+        "interactive plan routing"); both plans are bit-identical by
+        contract (enforced by tests/test_query.py both ways). Pass
         ``use_batch_plan=False`` to force the classic plan (the
         regression tests compare the two), or True to assert batch
         eligibility."""
         if use_batch_plan is None:
-            use_batch_plan = offset == 0 and scope is None and max_df is None
+            use_batch_plan = False
+            if offset == 0 and scope is None and max_df is None:
+                infos, n_missing = self.lookup_terms(query)
+                if infos and not (conjunctive and n_missing):
+                    use_batch_plan = (
+                        sum(ti.df for ti in infos)
+                        >= self.BATCH_PLAN_MIN_POSTINGS
+                    )
         if use_batch_plan:
             if offset != 0 or scope is not None or max_df is not None:
                 raise ValueError(
