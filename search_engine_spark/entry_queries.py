@@ -39,9 +39,11 @@ from .functions.analyzer import (
     STOPWORDS,
     analyze_text,
     lemma_case_sql,
+    lemmas_list_sql,
     tokens_cte_sql,
     terms_col,
 )
+from .functions.phrase import min_distance_col, phrase_count_col
 from .operators.index_build import (
     B, BLANK_CLASS, K1, build_index, nonblank_text,
 )
@@ -781,6 +783,124 @@ def _batch_topk_sql() -> str:
         " UNION ALL ".join(parts)
         + " ORDER BY query_id, score DESC, doc_id ASC"
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional fulltext ops (beyond the reference: functions/phrase.py) and
+# dictionary prefix expansion (SearchEngine.search_prefix)
+# ---------------------------------------------------------------------------
+PHRASE_TERMS = ("spark", "table", "hash")  # 8 contiguous-run hits at sf0.01
+PROX_TERMS = ("spark", "window")
+PROX_WINDOW = 3
+PREFIX_QUERY = "s"  # expands to 6 dictionary terms at sf0.01
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact-phrase search: docs whose ANALYZED lemma sequence contains
+    PHRASE_TERMS contiguously, with the (overlap-counted) occurrence
+    count. Pure Catalyst over the lemma array — one narrow scan, no
+    shuffle, no Python (functions/phrase.py)."""
+    occ = phrase_count_col(terms_col(F.col("text")), PHRASE_TERMS)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", occ.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 1)
+    )
+
+
+def _sql_phrase_match() -> str:
+    m = len(PHRASE_TERMS)
+    cond = " AND ".join(
+        f"lem[i + {j}] = '{t}'" for j, t in enumerate(PHRASE_TERMS)
+    )
+    return f"""
+WITH lem AS (SELECT doc_id, {lemmas_list_sql()} AS lem FROM documents),
+occ AS (
+    SELECT doc_id,
+           CAST(len(list_filter(
+               range(1, greatest(len(lem) - {m - 1}, 0) + 1),
+               i -> {cond})) AS BIGINT) AS n_occurrences
+    FROM lem
+)
+SELECT doc_id, n_occurrences FROM occ WHERE n_occurrences >= 1
+"""
+
+
+def q_proximity_match(spark, sf_dir):
+    """Proximity search: docs where the two PROX_TERMS lemmas co-occur
+    within PROX_WINDOW tokens, with the minimum token distance. Same
+    narrow-scan shape as phrase_match."""
+    mind = min_distance_col(terms_col(F.col("text")), *PROX_TERMS)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", mind.cast("long").alias("min_dist"))
+        .filter(F.col("min_dist") <= PROX_WINDOW)
+    )
+
+
+def _sql_proximity_match() -> str:
+    a, b = PROX_TERMS
+    pair_min = (
+        "list_min(flatten(list_transform(pa, i -> "
+        "list_transform(pb, j -> abs(i - j)))))"
+    )
+    return f"""
+WITH lem AS (SELECT doc_id, {lemmas_list_sql()} AS lem FROM documents),
+pos AS (
+    SELECT doc_id,
+           list_filter(range(1, len(lem) + 1), i -> lem[i] = '{a}') AS pa,
+           list_filter(range(1, len(lem) + 1), i -> lem[i] = '{b}') AS pb
+    FROM lem
+),
+d AS (
+    SELECT doc_id, CAST({pair_min} AS BIGINT) AS min_dist
+    FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+)
+SELECT doc_id, min_dist FROM d WHERE min_dist <= {PROX_WINDOW}
+"""
+
+
+def q_engine_prefix_topk(spark, sf_dir):
+    """Dictionary prefix expansion (J3 surface) + disjunctive BM25 through
+    the REAL engine: search_prefix expands PREFIX_QUERY against
+    term_stats, orders expansions df-asc, and scores with the classic
+    plan. Oracle derives the same expansion set and accumulation order
+    from its dft CTE (term LIKE prefix%), so the entry is green only if
+    expansion, ordering, and float accumulation all agree."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    ids = eng.search_prefix(PREFIX_QUERY, k=TOPK)
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _prefix_topk_sql(prefix: str, mode: str = "bm25", k: int = TOPK) -> str:
+    """Disjunctive analog of _maxdf_topk_sql: survivors = dictionary terms
+    with the prefix, accumulation = df-asc (ties term-asc) list_reduce —
+    bit-identical to the engine's COALESCE chain (+0.0 for a term missing
+    from a doc is an IEEE no-op on the positive partials)."""
+    return f"""
+WITH {_base_ctes()},
+partials AS (
+    SELECT tf.doc_id, tf.term, dft.df, {_score_sql(mode)} AS s
+    FROM tf
+    JOIN dft USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.term LIKE '{prefix}%'
+),
+agg AS (
+    SELECT doc_id, list(s ORDER BY df ASC, term ASC) AS ss
+    FROM partials GROUP BY doc_id
+)
+SELECT doc_id, list_reduce(ss, (a, b) -> a + b) AS score
+FROM agg
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2490,6 +2610,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_compacted_topk": q_engine_compacted_topk,
     "engine_scoped_topk": q_engine_scoped_topk,
     "engine_batch_topk": q_engine_batch_topk,
+    "engine_prefix_topk": q_engine_prefix_topk,
+    "phrase_match": q_phrase_match,
+    "proximity_match": q_proximity_match,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_order_revenue": q_tpch_order_revenue,
     "tpch_cust_nation_region": q_tpch_cust_nation_region,
@@ -2568,6 +2691,10 @@ ORACLES: dict[str, str] = {
     "engine_compacted_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
     # batching must be bit-invisible: union of the single-search oracles
     "engine_batch_topk": _batch_topk_sql(),
+    # prefix expansion set + df-asc accumulation both derived from dft
+    "engine_prefix_topk": _prefix_topk_sql(PREFIX_QUERY),
+    "phrase_match": _sql_phrase_match(),
+    "proximity_match": _sql_proximity_match(),
     # P4 scope: global stats, candidates restricted to the scoped sources
     "engine_scoped_topk": _topk_sql(
         _oracle_terms_sorted(), "bm25",

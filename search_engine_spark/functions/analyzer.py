@@ -319,6 +319,19 @@ def stopword_sql_list() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+def lemmas_list_sql(text_col: str = "text") -> str:
+    """DuckDB expression producing one row's lemma LIST — the SQL twin of
+    ``terms_col`` with element ORDER preserved, for positional operators
+    (phrase/proximity). Generated from the same rule tables; NULL text
+    yields NULL (callers' >=1-occurrence filters drop it, matching
+    terms_col's empty array)."""
+    return f"""list_transform(
+        list_filter(
+            string_split(trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g')), ' '),
+            tok -> tok <> '' AND tok NOT IN ({stopword_sql_list()})),
+        tok -> {lemma_case_sql('tok')})"""
+
+
 def tokens_cte_sql(table: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text", extra_cols: str = "") -> str:
     """A CTE body producing (id_col, term) rows — one per token occurrence —

@@ -542,6 +542,22 @@ class SearchEngine:
             if scope_ranges is None:  # scope matches no documents
                 return empty
 
+        return self._classic_topk(
+            infos, k=k, offset=offset, mode=mode,
+            conjunctive=conjunctive, scope_ranges=scope_ranges,
+        )
+
+    def _classic_topk(
+        self,
+        infos: list[TermInfo],
+        k: int,
+        offset: int = 0,
+        mode: str = "bm25",
+        conjunctive: bool = True,
+        scope_ranges: list[tuple[int, int]] | None = None,
+    ) -> DataFrame:
+        """The classic pivot plan over an already-resolved term list —
+        shared by ``search_ids`` and ``search_prefix``."""
         partials = self.candidate_scores(
             infos, mode=mode, conjunctive=conjunctive,
             scope_ranges=scope_ranges,
@@ -583,6 +599,62 @@ class SearchEngine:
                 .drop("_rn")
             )
         return topk
+
+    # ------------------------------------------------------------------
+    PREFIX_MAX_EXPANSIONS = 64
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        mode: str = "bm25",
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """Prefix query: expand ``prefix`` against the dictionary
+        (term_stats, the J3 lookup surface) to every term starting with
+        it, then score DISJUNCTIVELY over the expansion set with the same
+        df-ascending fixed-order accumulation as ``search_ids`` — so
+        ``search_prefix("sp")`` ranks exactly like a disjunctive search
+        for every dictionary term in ['sp', 'spz'). Beyond the reference
+        (its query path is exact-lemma only) but a standard fulltext
+        surface (Lucene PrefixQuery).
+
+        The expansion collect is bounded: more than ``max_expansions``
+        matching dictionary terms raises loudly (no silent caps — a
+        1-char prefix over a 100 TB vocabulary is a user error, and
+        silently scoring a truncated expansion set would change ranking;
+        Lucene throws TooManyClauses for the same reason)."""
+        cap = (
+            self.PREFIX_MAX_EXPANSIONS
+            if max_expansions is None
+            else int(max_expansions)
+        )
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        rows = (
+            self.term_stats.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            raise ValueError(
+                f"prefix '{prefix}' expands to more than {cap} dictionary "
+                "terms; use a longer prefix or raise max_expansions"
+            )
+        if not rows:
+            return self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        self._df_cache.update(found)
+        infos = [
+            TermInfo(t, d, 0)
+            for t, d in sorted(found.items(), key=lambda kv: (kv[1], kv[0]))
+        ]
+        for i, ti in enumerate(infos):
+            ti.order = i
+        return self._classic_topk(infos, k=k, mode=mode, conjunctive=False)
 
     # ------------------------------------------------------------------
     def search_many(

@@ -23,6 +23,20 @@ TABLES = [
 ]
 
 
+def driver_canon_check(pdf) -> str | None:
+    """Reproduce the DRIVER's canonicalization step, which the stringified
+    hash below masks: the driver sorts the raw frame with pandas
+    sort_values over all columns, and that raises `TypeError: unhashable
+    type: 'list'` on any array-typed column (what turned embed_quantize
+    red in CORRECTNESS_r02 despite correct values). Returns an error
+    string if the frame would crash the driver's harness, else None."""
+    try:
+        pdf.sort_values(by=sorted(pdf.columns))
+    except Exception as ex:  # noqa: BLE001
+        return f"driver-canon crash: {type(ex).__name__}: {ex}"
+    return None
+
+
 def value_hash(pdf) -> str:
     """Order-insensitive: sort columns by name, sort rows, hash repr."""
     pdf = pdf[sorted(pdf.columns)]
@@ -74,6 +88,10 @@ def main() -> int:
             failed.append(name)
             continue
         problems = []
+        for side, frame in (("spark", sdf), ("oracle", odf)):
+            err = driver_canon_check(frame)
+            if err:
+                problems.append(f"{side} {err}")
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
