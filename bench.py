@@ -4,7 +4,11 @@ Default run: build the inverted index from $SPARK_GRAFT_SF_DIR/documents
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], run the headline
 query suite, print ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "build_docs_per_sec": ...}
+   "queries": {...per-query sec...}, "sf": ...,
+   "build_docs_per_sec_fixed_cost_dominated": ...}
+(the build-rate key is labeled fixed-cost-dominated: at sf0.1's 5k docs it
+measures Spark session+planning overhead, not throughput — BENCH.md's
+700k+-turn campaigns are the throughput numbers)
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors; no
 real cluster in this sandbox, so same job at two parallelism levels):

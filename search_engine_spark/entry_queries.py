@@ -2274,7 +2274,11 @@ def q_streaming_tumbling(spark, sf_dir):
     q = stream_windowed_counts(
         spark, src, ckpt, out, window="1 hour", late="2 hours"
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # reading a half-committed sink would hash-compare garbage against
+        # the oracle — a confusing gate red; fail as what it is: a timeout
+        q.stop()
+        raise TimeoutError("streaming_tumbling availableNow run > 300 s")
     return spark.read.parquet(out).select(
         F.col("window_start").alias("hour_start"),
         "event_type",
@@ -2318,7 +2322,9 @@ def q_streaming_sessionize(spark, sf_dir):
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).write.mode("overwrite").parquet(src)
     q = stream_sessions(spark, src, ckpt, out, late="1 minute")
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_sessionize availableNow run > 300 s")
     return spark.read.parquet(out).select(
         "user_id", "session_start", "session_end", "n_events", "sum_cents"
     )

@@ -55,6 +55,9 @@ def compact_index(
     manifest = _read_manifest(out_dir)
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         raise ValueError(f"no complete index at {out_dir}")
+    from .incremental import require_staging
+
+    require_staging(out_dir, manifest)
     version = manifest["stage_docs"].get("index_version", "v1")
     n_buckets = resolve_n_buckets(spark, out_dir, n_buckets)
     parts_before = sum(1 for k in manifest if k.startswith("part_"))

@@ -120,6 +120,36 @@ def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
     return int(row["n_docs"]), float(row["avgdl"]) if row["avgdl"] else 1.0
 
 
+def require_staging(out_dir: str, manifest: dict) -> None:
+    """Fail loudly when the durable staging table is missing from an index
+    that has committed parts — the state a crash inside compact_index's
+    staging swap (rename-out done, rename-in not) leaves behind. Without
+    this guard the next incremental_update would recreate the directory
+    with ONLY its own batch (parquet append creates missing dirs) and its
+    closing _recompute_stats would silently rewrite global df/cf/avgdl
+    from that partial staging; a later compact_index would then rebuild
+    postings from it, permanently dropping all prior postings."""
+    if not any(k.startswith("part_") for k in manifest):
+        return
+    if Path(f"{out_dir}/_staging_postings_raw").exists():
+        return
+    leftover = [
+        d
+        for d in ("_staging_compacting", "_staging_old")
+        if Path(f"{out_dir}/{d}").exists()
+    ]
+    hint = (
+        f"rename {out_dir}/{leftover[0]} back to _staging_postings_raw"
+        if leftover
+        else "rebuild with build_index(resume=False)"
+    )
+    raise RuntimeError(
+        f"index at {out_dir} has committed parts but no "
+        f"_staging_postings_raw — a compact_index staging swap crashed "
+        f"mid-rename; {hint}, then retry"
+    )
+
+
 def _recover_uncommitted(spark: SparkSession, out_dir: str,
                          manifest: dict, n_buckets: int) -> dict:
     """See module docstring: delete or finish any staging part whose commit
@@ -227,6 +257,7 @@ def incremental_update(
         )
     version = index_version or manifest["stage_docs"].get("index_version", "v1")
     n_buckets = resolve_n_buckets(spark, out_dir, n_buckets)
+    require_staging(out_dir, manifest)
     manifest = _recover_uncommitted(spark, out_dir, manifest, n_buckets)
 
     docs_path = f"{out_dir}/documents"

@@ -537,6 +537,19 @@ def build_index(
         for p in _manifest_path(out_dir).glob("*.json"):
             p.unlink()
         manifest = {}
+    if manifest.get("stage_docs", {}).get("status") == "DONE":
+        # same contract as incremental_update: resuming (or no-op'ing over)
+        # an index stamped with a DIFFERENT analyzer would leave postings
+        # that tokenize differently than the queries analyzed against them
+        # — silently wrong results, so refuse loudly
+        built_with = manifest["stage_docs"].get("analyzer_version", "a1")
+        if built_with != ANALYZER_VERSION:
+            raise ValueError(
+                f"index at {out_dir} was built with analyzer {built_with}, "
+                f"current analyzer is {ANALYZER_VERSION}: resume would "
+                "serve queries analyzed differently than the committed "
+                "postings — rebuild with build_index(resume=False)"
+            )
 
     docs_path = str(out / "documents")
     staging_path = str(out / "_staging_postings_raw")

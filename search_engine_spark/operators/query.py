@@ -820,6 +820,18 @@ class SearchEngine:
             if unpruned_terms:
                 overlap = F.col("term").isin(unpruned_terms) | overlap
             blocks = blocks.filter(overlap)
+        elif term_ranges:
+            # no silent caps (same contract as candidate_scores): results
+            # stay exact via the decode-side union mask, but the scan loses
+            # row-group pushdown — say so
+            warnings.warn(
+                f"{len(all_ranges)} doc_id ranges exceed "
+                f"PRUNE_MAX_FILTER_RANGES={self.PRUNE_MAX_FILTER_RANGES}; "
+                "batch-scan row-group pushdown dropped (results stay exact "
+                "via the decode-side mask). Many incremental batches? "
+                "compact_index restores dense ordering.",
+                stacklevel=2,
+            )
         blocks = blocks.select(
             "term", "first_doc_id", "doc_ids", "tfs", "dls"
         )
@@ -882,7 +894,15 @@ class SearchEngine:
                     )
                     if ids.size == 0:
                         continue
-                    dls, _ = varbyte_decode_groups(list(dls_col[rows]))
+                    # dl is only a BM25 input — relevance_ref never reads
+                    # dl_b (score_topk guards on mode), so skip the decode
+                    # + re-encode and ship empty buffers instead of ~1/3
+                    # extra exchange bytes per posting
+                    dls = (
+                        varbyte_decode_groups(list(dls_col[rows]))[0]
+                        if mode == "bm25"
+                        else None
+                    )
                     ti = term_ti[term]
                     rng = term_ranges.get(ti)
                     if rng is not None:
@@ -895,7 +915,9 @@ class SearchEngine:
                             ids <= hi_arr[np.clip(pos, 0, None)]
                         )
                         if not keep.all():
-                            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                            ids, tfs = ids[keep], tfs[keep]
+                            if dls is not None:
+                                dls = dls[keep]
                     if ids.size == 0:
                         continue
                     cut = np.searchsorted(ids, edges[1:-1])
@@ -912,13 +934,17 @@ class SearchEngine:
                     tf_bufs = varbyte_encode_sliced(
                         tfs.astype(np.uint64), starts
                     )
-                    dl_bufs = varbyte_encode_sliced(dls, starts)
+                    dl_bufs = (
+                        varbyte_encode_sliced(dls, starts)
+                        if dls is not None
+                        else None
+                    )
                     for j in np.flatnonzero(lens):
                         o_rb.append(j)
                         o_ti.append(ti)
                         o_ids.append(ids_bufs[j])
                         o_tf.append(tf_bufs[j])
-                        o_dl.append(dl_bufs[j])
+                        o_dl.append(dl_bufs[j] if dl_bufs is not None else b"")
                 if o_rb:
                     yield pd.DataFrame(
                         {

@@ -22,6 +22,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from bench import STEAL_REJECT_FRACTION  # noqa: E402 — ONE clean criterion
 
 
 def steal_pct(interval: float = 10.0) -> float:
@@ -85,7 +88,7 @@ def main() -> None:
                 print(line, file=sys.stderr, flush=True)
         r = json.loads(out.stdout.strip().splitlines()[-1])
         wall = r.get("build_sec", r.get("wall_sec"))
-        r["clean"] = r["steal_sec"] <= 0.02 * wall * args.cpus
+        r["clean"] = r["steal_sec"] <= STEAL_REJECT_FRACTION * wall * args.cpus
         runs.append(r)
         print(json.dumps(r), flush=True)
         if r["clean"]:
