@@ -1950,6 +1950,151 @@ WHERE l.lang_pred = 'en'
 
 
 # ---------------------------------------------------------------------------
+# Training-batch layout ops: deterministic split, sequence packing,
+# context-window chunking — the steps between "curated corpus" and "tensors"
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95   # train < 90 <= val < 95 <= test
+SEQ_BUDGET = 512     # tokens per packed training sequence
+CHUNK_SIZE = 32      # context-window chunk length (tokens)
+CHUNK_STRIDE = 24    # chunk start stride (CHUNK_SIZE - stride = overlap)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: portable md5-60bit of a salted
+    doc_id, bucketed 0-99 — reproducible across engines/runs/cluster
+    sizes (never RAND(), which breaks retries and resumed jobs), and a
+    pure per-row expression: no shuffle at any scale."""
+    bucket = (
+        _hash_col(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % F.lit(100)
+    ).cast("int")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _sql_hash_split() -> str:
+    horner = _hex2int_sql("md5('split:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, CAST({horner} % 100 AS INT) AS bucket,
+       CASE WHEN {horner} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {horner} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing: lay each training shard's surviving documents
+    (the FULL pipeline_training_shard funnel feeds this — the stages
+    compose) end-to-end in doc_id order and chop the token stream into
+    SEQ_BUDGET-token sequences (GPT-style concat-then-chop). Emits each
+    doc's sequence id, its token offset inside the stream, and whether
+    it straddles a sequence boundary (the rows a loss-masking loader
+    needs). Plan shape: the funnel's one scan + one shuffle, plus ONE
+    window partitioned BY SHARD — cumulative state is per-shard, so the
+    pack parallelizes across shards and never builds a global order (the
+    100 TB-safe form of a running total)."""
+    funnel = q_pipeline_training_shard(spark, sf_dir)
+    w = Window.partitionBy("shard_id").orderBy("doc_id")
+    tok_start = (F.sum("n_terms").over(w) - F.col("n_terms")).cast("long")
+    return funnel.select(
+        "doc_id",
+        "shard_id",
+        tok_start.alias("tok_start"),
+        "n_terms",
+    ).select(
+        "doc_id",
+        "shard_id",
+        (F.col("tok_start") / F.lit(SEQ_BUDGET)).cast("long").alias("seq_id"),
+        "tok_start",
+        "n_terms",
+        (
+            (F.col("tok_start") % SEQ_BUDGET) + F.col("n_terms")
+            > F.lit(SEQ_BUDGET)
+        ).cast("int").alias("straddles"),
+    )
+
+
+def _sql_seq_pack() -> str:
+    return f"""
+WITH funnel AS ({_sql_training_shard()}),
+packed AS (
+    SELECT doc_id, shard_id,
+           CAST(SUM(n_terms) OVER (PARTITION BY shard_id ORDER BY doc_id)
+                - n_terms AS BIGINT) AS tok_start,
+           n_terms
+    FROM funnel
+)
+SELECT doc_id, shard_id, tok_start // {SEQ_BUDGET} AS seq_id, tok_start,
+       n_terms,
+       CAST((tok_start % {SEQ_BUDGET}) + n_terms > {SEQ_BUDGET} AS INT)
+           AS straddles
+FROM packed
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: split each document's token stream into
+    CHUNK_SIZE-token windows every CHUNK_STRIDE tokens (overlapping), the
+    unit embedding/retrieval pipelines index. Emits (doc_id, chunk_id,
+    tok_lo, tok_hi); the final chunk is clipped to the doc length.
+    Per-row explode — embarrassingly parallel, no shuffle."""
+    n = F.size(terms_col(F.col("text"))).cast("long")
+    n_chunks = F.when(n <= CHUNK_SIZE, F.lit(1).cast("long")).otherwise(
+        (
+            (n - CHUNK_SIZE + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)
+        ).cast("long")
+        + 1
+    )
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", n.alias("n"), n_chunks.alias("n_chunks"))
+        .filter(F.col("n") > 0)
+    )
+    idx = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+    ).alias("chunk_id")
+    return base.select("doc_id", "n", idx).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_STRIDE).alias("tok_lo"),
+        F.least(
+            F.col("chunk_id") * CHUNK_STRIDE + CHUNK_SIZE, F.col("n")
+        ).alias("tok_hi"),
+    )
+
+
+def _sql_doc_chunks() -> str:
+    c, s = CHUNK_SIZE, CHUNK_STRIDE
+    return f"""
+WITH t AS (
+    SELECT doc_id, CAST(len({lemmas_list_sql()}) AS BIGINT) AS n
+    FROM documents
+),
+cc AS (
+    SELECT doc_id, n,
+           CASE WHEN n <= {c} THEN 1
+                ELSE ((n - {c} + {s} - 1) // {s}) + 1 END AS n_chunks
+    FROM t WHERE n > 0
+),
+ex AS (
+    SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_id FROM cc
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {s} AS BIGINT) AS tok_lo,
+       CAST(least(chunk_id * {s} + {c}, n) AS BIGINT) AS tok_hi
+FROM ex
+"""
+
+
+# ---------------------------------------------------------------------------
 # Relational analytics over the TPC-H star schema — generic join / agg /
 # window coverage beyond the search domain. Float discipline: every DOUBLE
 # money column is converted to exact integer cents (round(x*100)) BEFORE
@@ -2644,6 +2789,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "pipeline_training_shard": q_pipeline_training_shard,
+    "hash_split": q_hash_split,
+    "seq_pack": q_seq_pack,
+    "doc_chunks": q_doc_chunks,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_json": q_events_json,
@@ -2734,6 +2882,10 @@ ORACLES: dict[str, str] = {
     "quality_score": _sql_quality(),
     "token_counts": _sql_token_counts(),
     "pipeline_training_shard": _sql_training_shard(),
+    "hash_split": _sql_hash_split(),
+    # sequence packing composes ON TOP of the full funnel SQL (shared CTE)
+    "seq_pack": _sql_seq_pack(),
+    "doc_chunks": _sql_doc_chunks(),
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_json": SQL_EVENTS_JSON,

@@ -58,6 +58,13 @@ def main() -> None:
         "training-shard prep (1 scan, 1 exchange)",
         EQ.q_pipeline_training_shard(spark, sf_dir),
     )
+    show(
+        "phrase match (narrow scan: ReadSchema doc_id+text only, no "
+        "exchange; JVM higher-order exprs — codegen-opaque but no Python)",
+        EQ.q_phrase_match(spark, sf_dir),
+    )
+    show("prefix search (classic plan over expanded terms)",
+         eng.search_prefix("s", max_expansions=1024))
     spark.stop()
 
 
