@@ -962,6 +962,99 @@ WHERE (i * 1.0) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
 
 
+SHINGLE_N = 3           # word-shingle width for n-gram jaccard
+SHINGLE_DF_CAP = 50     # drop shingles appearing in more docs (boilerplate)
+NGRAM_JACCARD_THRESHOLD = 0.8
+
+
+def _shingles_col(n: int = SHINGLE_N) -> F.Column:
+    """Word n-gram shingles of the analyzer lemma stream — JVM-side
+    (transform over sequence, whole-stage codegen). Empty array when the
+    doc has fewer than ``n`` lemmas."""
+    terms = terms_col(F.col("text"))
+    return F.when(F.size(terms) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(terms) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(terms, i + j + 1) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _shingles_cte_sql(n: int = SHINGLE_N) -> str:
+    """(doc_id, shingle) DISTINCT rows — the SQL twin of
+    explode(_shingles_col()).distinct(). DuckDB lists are 1-indexed and
+    range(a, b) is b-exclusive, so i runs 1..len-(n-1)."""
+    joined = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
+    return f"""
+    SELECT DISTINCT doc_id, {joined} AS shingle
+    FROM (
+        SELECT doc_id, l, unnest(range(1, len(l) - {n - 2})) AS i
+        FROM (SELECT doc_id, {lemmas_list_sql()} AS l FROM documents)
+        WHERE len(l) >= {n}
+    )
+    """
+
+
+def q_ngram_dup_pairs(spark, sf_dir):
+    """Near-dup pairs by word {SHINGLE_N}-gram shingle jaccard — the
+    n-gram analog of q_jaccard_pairs, with the standard at-scale guard:
+    shingles whose document frequency exceeds SHINGLE_DF_CAP (shared
+    boilerplate — exactly the rows that make the candidate join
+    quadratic) are dropped BEFORE the self-join, so candidate pairs are
+    generated only through rare shingles and the join cost is bounded by
+    sum(df^2) over kept shingles. Jaccard is defined over the kept-
+    shingle universe on both engines (sizes counted after the cap)."""
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_shingles_col()).alias("shingle"))
+        .distinct()
+    )
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(kept, "shingle").localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+SQL_NGRAM_DUP_PAIRS = f"""
+WITH sh0 AS ({_shingles_cte_sql()}),
+kept AS (
+    SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+),
+sh AS (SELECT doc_id, shingle FROM sh0 JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
 def _minhash_aggs():
     return [
         F.min(_hash_col(F.concat(F.col("term"), F.lit(f"#{i}")))).alias(f"mh{i}")
@@ -1858,6 +1951,115 @@ SELECT d.doc_id,
        COALESCE(t.n_terms, 0) AS n_terms,
        COALESCE(t.n_unique_terms, 0) AS n_unique_terms
 FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition / boilerplate signals per document:
+    duplicate-line fraction (lines repeating an earlier identical line)
+    and top-bigram fraction (occurrences of the most frequent lemma
+    bigram over all bigram occurrences) — the standard filters for
+    template spam and degenerate repetition in LLM training corpora
+    (Rae et al. 2021 §A1.3). Line stats are per-row array expressions
+    riding the scan (no shuffle); bigram stats are one explode +
+    map-side-combined groupBy — the only shuffle, keyed by doc_id, so
+    the plan is skew-free and scale-safe. Every ratio is one IEEE
+    division of exact integer counts, mirrored literally in the SQL."""
+    docs = _docs(spark, sf_dir)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines).cast("long")
+    n_dist = F.size(F.array_distinct(lines)).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.when(
+            n_lines > 0,
+            (n_lines - n_dist).cast("double") / n_lines,
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+    )
+    bc = (
+        docs.select("doc_id", F.explode(_shingles_col(2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    bs = bc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+    )
+    return base.join(bs, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def _sql_repetition_stats() -> str:
+    return f"""
+WITH lt AS (SELECT doc_id, {lemmas_list_sql()} AS l FROM documents),
+bg AS (
+    SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+    FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+          FROM lt WHERE len(l) >= 2)
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (
+    SELECT doc_id,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
+    FROM bc GROUP BY 1
+),
+ln AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)), x -> x <> '') AS ls
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CASE WHEN len(ls) > 0
+            THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+            ELSE 0.0::DOUBLE END AS dup_line_frac,
+       COALESCE(bs.top_bigram_frac, 0.0::DOUBLE) AS top_bigram_frac
+FROM documents d
+JOIN ln USING (doc_id)
+LEFT JOIN bs USING (doc_id)
+"""
+
+
+SOURCE_CAP = 20  # max docs kept per source (25/source at sf0.01 -> trims)
+
+
+def q_source_cap_sample(spark, sf_dir):
+    """Source balancing: deterministically downsample over-represented
+    sources to at most SOURCE_CAP documents each, ranking docs inside a
+    source by a salted portable hash (never RAND() — reproducible across
+    retries, resumes, and cluster sizes). One window shuffle keyed by
+    source; at 100 TB a pathological head source makes that key hot, so
+    the production form pre-filters with an approximate per-source
+    count and two-level (salt, then re-rank survivors) capping — here
+    the exact single-window form IS the oracle-checkable contract."""
+    h = _hash_col(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", h.alias("_h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _sql_source_cap_sample() -> str:
+    horner = _hex2int_sql("md5('sample:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY {horner} ASC, doc_id ASC) AS rk
+    FROM documents
+) WHERE rk <= {SOURCE_CAP}
 """
 
 
@@ -2773,6 +2975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_brand_volume": q_tpch_brand_volume,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
+    "ngram_dup_pairs": q_ngram_dup_pairs,
     "minhash_sigs": q_minhash_sigs,
     "lsh_pairs": q_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
@@ -2788,6 +2991,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
+    "repetition_stats": q_repetition_stats,
+    "source_cap_sample": q_source_cap_sample,
     "pipeline_training_shard": q_pipeline_training_shard,
     "hash_split": q_hash_split,
     "seq_pack": q_seq_pack,
@@ -2866,6 +3071,8 @@ ORACLES: dict[str, str] = {
     "tpch_brand_volume": SQL_TPCH_BRAND_VOLUME,
     "dedup_exact": SQL_DEDUP_EXACT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    # n-gram jaccard: candidate pairs only through shingles with df <= cap
+    "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "minhash_sigs": SQL_MINHASH_SIGS,
     "lsh_pairs": _sql_lsh_pairs(),
     "lsh_bucket_stats": _sql_lsh_bucket_stats(),
@@ -2881,6 +3088,8 @@ ORACLES: dict[str, str] = {
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality(),
     "token_counts": _sql_token_counts(),
+    "repetition_stats": _sql_repetition_stats(),
+    "source_cap_sample": _sql_source_cap_sample(),
     "pipeline_training_shard": _sql_training_shard(),
     "hash_split": _sql_hash_split(),
     # sequence packing composes ON TOP of the full funnel SQL (shared CTE)
