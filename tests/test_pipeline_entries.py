@@ -1,0 +1,134 @@
+"""Adversarial-corpus tests for the newest training-data pipeline entries.
+
+The driver gate (sf0.01) never exercises ngram_dup_pairs' hot-shingle cap
+(max shingle df there is 8 vs SHINGLE_DF_CAP=50), so these tests build the
+corpus that DOES: shared boilerplate across >cap documents. Each test also
+re-checks Spark == DuckDB bit-exactly on the adversarial corpus, i.e. the
+same contract the gate enforces, on inputs the gate never sees.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from search_engine_spark import entry_queries as EQ
+
+BOILER = ("alpha bravo charlie delta echo foxtrot golf hotel "
+          "india juliet kilo lima")
+
+
+def _write_docs(tmp_path, texts, sources=None):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": sources if sources is not None else "src0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+def _oracle(tmp_path, name):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    return con.execute(EQ.ORACLES[name]).df()
+
+
+def _rows(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False)
+    )
+
+
+def _assert_matches_oracle(spark_df, tmp_path, name):
+    got = spark_df.toPandas()
+    want = _oracle(tmp_path, name)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got) == _rows(want)
+    return got
+
+
+def test_ngram_cap_drops_boilerplate_pairs(spark, tmp_path):
+    """62 docs share a 12-word boilerplate prefix (shingle df=62 >
+    SHINGLE_DF_CAP=50): every boilerplate shingle must be dropped before
+    the candidate join, so docs related ONLY through boilerplate produce
+    no pair, while the one genuinely near-duplicate pair (shared rare
+    tail) survives with the kept-universe jaccard."""
+    assert EQ.SHINGLE_DF_CAP < 62
+    tail = "uniqa uniqb uniqc uniqd uniqe uniqf uniqg uniqh uniqi uniqj"
+    texts = [f"{BOILER} tail{i}w tail{i}x tail{i}y tail{i}z"
+             for i in range(60)]
+    texts.append(f"{BOILER} {tail}")               # doc 60
+    texts.append(f"{BOILER} {tail} zextra")        # doc 61: one extra word
+    sf_dir = _write_docs(tmp_path, texts)
+
+    got = _assert_matches_oracle(
+        EQ.q_ngram_dup_pairs(spark, sf_dir), sf_dir, "ngram_dup_pairs"
+    )
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert pairs == {(60, 61)}
+    # doc 60 kept shingles: 2 boundary + (10-3+1) tail = 10; doc 61 adds
+    # one (A ⊂ B, |B| = |A| + 1) -> jaccard = 10 / 11 exactly
+    j = float(got["jaccard"].iloc[0])
+    assert j == pytest.approx(10 / 11, abs=0)
+
+
+def test_ngram_no_cap_keeps_rare_pairs_only(spark, tmp_path):
+    """Below the cap nothing is dropped: disjoint docs yield no pairs."""
+    texts = [f"one{i} two{i} three{i} four{i}" for i in range(10)]
+    sf_dir = _write_docs(tmp_path, texts)
+    got = _assert_matches_oracle(
+        EQ.q_ngram_dup_pairs(spark, sf_dir), sf_dir, "ngram_dup_pairs"
+    )
+    assert len(got) == 0
+
+
+def test_repetition_stats_exact_values(spark, tmp_path):
+    texts = [
+        "kodo zena\nkodo zena\nmira",   # dup line; top bigram 2/4
+        "kodo zena mira",               # no dup; top bigram 1/2
+        "",                             # no lines, no bigrams
+        "solo",                         # one line, <2 lemmas
+    ]
+    sf_dir = _write_docs(tmp_path, texts)
+    got = _assert_matches_oracle(
+        EQ.q_repetition_stats(spark, sf_dir), sf_dir, "repetition_stats"
+    ).set_index("doc_id").sort_index()
+    assert got.loc[0, "n_lines"] == 3
+    assert got.loc[0, "dup_line_frac"] == pytest.approx(1 / 3, abs=0)
+    assert got.loc[0, "top_bigram_frac"] == pytest.approx(0.5, abs=0)
+    assert got.loc[1, "n_lines"] == 1
+    assert got.loc[1, "dup_line_frac"] == 0.0
+    assert got.loc[1, "top_bigram_frac"] == pytest.approx(0.5, abs=0)
+    assert got.loc[2, "n_lines"] == 0
+    assert got.loc[2, "dup_line_frac"] == 0.0
+    assert got.loc[2, "top_bigram_frac"] == 0.0
+    assert got.loc[3, "n_lines"] == 1
+    assert got.loc[3, "top_bigram_frac"] == 0.0
+
+
+def test_source_cap_sample_caps_and_is_deterministic(spark, tmp_path):
+    sources = (["big"] * 30) + (["mid"] * 10) + (["tiny"] * 5)
+    texts = [f"text {i}" for i in range(len(sources))]
+    sf_dir = _write_docs(tmp_path, texts, sources=sources)
+    got = _assert_matches_oracle(
+        EQ.q_source_cap_sample(spark, sf_dir), sf_dir, "source_cap_sample"
+    )
+    by_src = got.groupby("source")["doc_id"].count().to_dict()
+    assert by_src == {"big": EQ.SOURCE_CAP, "mid": 10, "tiny": 5}
+    assert got["rk"].max() <= EQ.SOURCE_CAP
+    # deterministic: a second run picks the identical survivor set
+    again = EQ.q_source_cap_sample(spark, sf_dir).toPandas()
+    assert _rows(got) == _rows(again)
