@@ -305,12 +305,9 @@ def _scaling_pipeline(cpus: int) -> dict:
     workload class the north rule's >=0.8 criterion is most directly
     about for data prep, with zero Python workers to hit this box's
     Arrow bandwidth ceiling."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from search_engine_spark import entry_queries as EQ
-    from search_engine_spark.functions.analyzer import terms_col
-    from search_engine_spark.operators.index_build import BLANK_CLASS
 
     spark = get_spark(
         app_name=f"pipe{cpus}",
@@ -327,37 +324,13 @@ def _scaling_pipeline(cpus: int) -> dict:
             "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
         },
     )
-    turns = spark.read.parquet(SCALE_CORPUS).filter(
-        F.col("text").isNotNull()
-        & (F.regexp_replace(F.col("text"), BLANK_CLASS, "") != "")
-    ).withColumn("_tc", EQ._token_counts_struct())
-    enriched = turns.select(
-        "conv_id",
-        "turn_idx",
-        F.md5("text").alias("text_hash"),
-        EQ._lang_pred_from(F.col("_tc")).alias("lang_pred"),
-        EQ._quality_from(F.col("_tc"))["quality"].alias("quality"),
-        F.size(terms_col(F.col("text"))).cast("long").alias("n_terms"),
-    )
-    w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
-    shard = (
-        EQ._hash_col(
-            F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx"))
-        )
-        % F.lit(EQ.SHARD_N)
-    ).cast("int")
-    out = (
-        enriched.withColumn("_rn", F.row_number().over(w))
-        .filter(
-            (F.col("_rn") == 1)
-            & (F.col("lang_pred") == "en")
-            & (F.col("quality") >= F.lit(EQ.SHARD_QUALITY_MIN))
-            & (F.col("n_terms") >= F.lit(EQ.SHARD_MIN_TERMS))
-        )
-        .select(
-            "conv_id", "turn_idx", "lang_pred", "quality", "n_terms",
-            shard.alias("shard_id"),
-        )
+    # the SAME funnel definition the oracled gate entry runs
+    # (entry_queries.training_shard_funnel) — only the row identity and
+    # shard-hash input differ for the transcript-shaped scaling corpus
+    out = EQ.training_shard_funnel(
+        spark.read.parquet(SCALE_CORPUS),
+        ["conv_id", "turn_idx"],
+        F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx")),
     )
     s0 = _read_proc_stat()
     t0 = time.time()

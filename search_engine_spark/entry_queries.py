@@ -2088,19 +2088,35 @@ def q_pipeline_training_shard(spark, sf_dir):
     md5(text) window that keeps the min-doc_id representative); the
     gates filter inside the post-shuffle stage. No joins, no second
     scan — the plan a 100 TB prep job needs."""
-    docs = _docs(spark, sf_dir).filter(nonblank_text()).withColumn("_tc", _token_counts_struct())
+    return training_shard_funnel(
+        _docs(spark, sf_dir),
+        ["doc_id"],
+        F.concat(F.lit("shard:"), F.col("doc_id").cast("string")),
+    )
+
+
+def training_shard_funnel(docs, id_cols, shard_hash_input) -> DataFrame:
+    """The funnel core, parameterized over the row identity so the gate
+    entry (doc_id over documents) and the big-corpus scaling leg in
+    bench.py (conv_id/turn_idx over transcripts) run the IDENTICAL plan —
+    one definition, no drift between what is oracled and what is
+    benchmarked. ``id_cols`` orders the dedup-representative window;
+    ``shard_hash_input`` is the string column fed to the portable shard
+    hash."""
+    docs = docs.filter(nonblank_text()).withColumn(
+        "_tc", _token_counts_struct()
+    )
     enriched = docs.select(
-        "doc_id",
+        *id_cols,
         F.md5("text").alias("text_hash"),
         _lang_pred_from(F.col("_tc")).alias("lang_pred"),
         _quality_from(F.col("_tc"))["quality"].alias("quality"),
         F.size(terms_col(F.col("text"))).cast("long").alias("n_terms"),
     )
-    w = Window.partitionBy("text_hash").orderBy(F.asc("doc_id"))
-    shard = (
-        _hash_col(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
-        % F.lit(SHARD_N)
-    ).cast("int")
+    w = Window.partitionBy("text_hash").orderBy(
+        *[F.asc(c) for c in id_cols]
+    )
+    shard = (_hash_col(shard_hash_input) % F.lit(SHARD_N)).cast("int")
     return (
         enriched.withColumn("_rn", F.row_number().over(w))
         .filter(
@@ -2110,7 +2126,7 @@ def q_pipeline_training_shard(spark, sf_dir):
             & (F.col("n_terms") >= F.lit(SHARD_MIN_TERMS))
         )
         .select(
-            "doc_id", "lang_pred", "quality", "n_terms",
+            *id_cols, "lang_pred", "quality", "n_terms",
             shard.alias("shard_id"),
         )
     )
@@ -2598,6 +2614,21 @@ FROM events
 """
 
 
+def _stream_work_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(corpus, entry) scratch dir for the streaming
+    entries' source/sink/checkpoint, wiped before every run. mkdtemp here
+    would leak a full events-table copy per gate evaluation; a keyed dir
+    bounds /tmp usage to one dir per entry, and the wipe guarantees the
+    availableNow run starts from a fresh checkpoint (a stale one would
+    no-op the trigger and a stale sink would double-append)."""
+    key = hashlib.md5(f"{BUILD_TAG}:{tag}:{sf_dir}".encode()).hexdigest()[:10]
+    base = f"/tmp/ses_stream_{key}"
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """REAL Structured Streaming under the driver gate (not the batch
     analog): stream_windowed_counts runs readStream → watermark(2h) →
@@ -2608,11 +2639,9 @@ def q_streaming_tumbling(spark, sf_dir):
     events_tumbling SQL restricted to those same closed windows.
     approx_users is excluded (approx_count_distinct has no cross-engine
     oracle)."""
-    import tempfile
-
     from .streaming.windows import stream_windowed_counts
 
-    base = tempfile.mkdtemp(prefix="ses_stream_")
+    base = _stream_work_dir(sf_dir, "win")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.select(
@@ -2658,11 +2687,9 @@ def q_streaming_sessionize(spark, sf_dir):
     sessionization is drift-free against the batch semantics
     (streaming/sessions.py; tests/test_streaming_sessions.py is the
     pytest twin)."""
-    import tempfile
-
     from .streaming.sessions import stream_sessions
 
-    base = tempfile.mkdtemp(prefix="ses_stream_sess_")
+    base = _stream_work_dir(sf_dir, "sess")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.select(

@@ -24,8 +24,11 @@ import shutil
 import time
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
+
+from .. import schemas
 
 from .index_build import (
     _attach_terms,
@@ -74,7 +77,18 @@ def compact_index(
     avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
     term_stats = spark.read.parquet(stats_path)
 
-    raw = spark.read.parquet(staging_path).withColumn(
+    try:
+        raw = spark.read.parquet(staging_path)
+    except AnalysisException as staging_err:
+        # an index whose every document analyzed to zero terms (or an
+        # empty corpus) has a staging dir with no data files — same
+        # loud/quiet split as build_index's stage-C read: ONLY the
+        # no-schema shape may fall back; a MISSING dir stays loud
+        # (require_staging above already rejects it for part-ful indexes)
+        if "UNABLE_TO_INFER_SCHEMA" not in str(staging_err):
+            raise
+        raw = spark.createDataFrame([], schema=schemas.STAGING)
+    raw = raw.withColumn(
         "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
     )
     shutil.rmtree(new_postings, ignore_errors=True)

@@ -819,30 +819,52 @@ def build_index(
     # partition-pruned slice of the staging parquet and broadcast-joins the
     # term dictionary. The stats job runs concurrently with the staging
     # write's tail; wait for its parquet before resolving the read below.
-    if fresh is not None:
-        fresh["stats_future"].result()
-    term_stats = spark.read.parquet(stats_path)
-    try:
-        staging_df = spark.read.parquet(staging_path)
-    except AnalysisException as staging_err:
-        # a corpus whose every document analyzed to zero terms writes no
-        # staging part files (dir exists, no schema) — encode empty parts.
-        # ONLY that exact shape (UNABLE_TO_INFER_SCHEMA) may fall back: a
-        # MISSING staging dir on a resume (PATH_NOT_FOUND — lost/partial
-        # copy) would otherwise silently commit every part DONE with zero
-        # postings over a populated documents table. Same loud/quiet split
-        # as the query engine's postings read (query.py:83-115).
-        if "UNABLE_TO_INFER_SCHEMA" not in str(staging_err):
-            raise
-        staging_df = spark.createDataFrame([], schema=schemas.STAGING)
-    actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
-    todo = [
-        p for p in range(actual_parts)
-        if manifest.get(f"part_{p:05d}", {}).get("status") != "DONE"
-    ]
-    skipped = actual_parts - len(todo)
+    def _stage_a_cleanup() -> None:
+        # join the overlapped stats/docs writes, shut the pool down, and
+        # release the pinned corpus cache — MUST run on every exit path
+        # once `fresh` exists, or a failure pins the cache for the session
+        if fresh is None:
+            return
+        try:
+            fresh["finalize"]()
+        finally:
+            fresh["cached"].unpersist()
 
-    hash_ids = check_hash_ids(term_stats) if todo else True
+    try:
+        if fresh is not None:
+            fresh["stats_future"].result()
+        term_stats = spark.read.parquet(stats_path)
+    except BaseException:
+        # a stats failure (or unreadable term_stats) raises BEFORE the
+        # stage-C try/finally below — clean up here or leak cache + pool
+        _stage_a_cleanup()
+        raise
+    try:
+        try:
+            staging_df = spark.read.parquet(staging_path)
+        except AnalysisException as staging_err:
+            # a corpus whose every document analyzed to zero terms writes
+            # no staging part files (dir exists, no schema) — encode empty
+            # parts. ONLY that exact shape (UNABLE_TO_INFER_SCHEMA) may
+            # fall back: a MISSING staging dir on a resume (PATH_NOT_FOUND
+            # — lost/partial copy) would otherwise silently commit every
+            # part DONE with zero postings over a populated documents
+            # table. Same loud/quiet split as the query engine's postings
+            # read (query.py:83-115).
+            if "UNABLE_TO_INFER_SCHEMA" not in str(staging_err):
+                raise
+            staging_df = spark.createDataFrame([], schema=schemas.STAGING)
+        actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
+        todo = [
+            p for p in range(actual_parts)
+            if manifest.get(f"part_{p:05d}", {}).get("status") != "DONE"
+        ]
+        skipped = actual_parts - len(todo)
+
+        hash_ids = check_hash_ids(term_stats) if todo else True
+    except BaseException:
+        _stage_a_cleanup()
+        raise
 
     def _build_part(p: int) -> None:
         t0 = time.time()
@@ -916,13 +938,7 @@ def build_index(
         # join the overlapped staging write + commit stage rows even when a
         # part job dies (matches pre-overlap semantics: stage A commits
         # independently of stage C outcomes)
-        if fresh is not None:
-            try:
-                fresh["finalize"]()
-            finally:
-                # unpersist even when finalize raises (a finalize failure
-                # must not pin the cache for the session lifetime)
-                fresh["cached"].unpersist()
+        _stage_a_cleanup()
 
     manifest = _read_manifest(out_dir)
     total_blocks = sum(

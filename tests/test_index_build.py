@@ -119,6 +119,13 @@ def test_empty_corpus_build_and_search(spark, tmp_path):
     assert res.postings_blocks == 0
     eng = SearchEngine(spark, out)
     assert eng.search_ids("anything", k=5).count() == 0
+    # compaction must accept the no-staging-data-files shape too (it used
+    # to crash on UNABLE_TO_INFER_SCHEMA before reaching its own guard)
+    from search_engine_spark.operators.compaction import compact_index
+
+    r = compact_index(spark, out, n_parts=1)
+    assert r["parts_after"] == 0
+    assert SearchEngine(spark, out).search_ids("anything", k=5).count() == 0
 
 
 def test_zero_term_corpus_build_and_search(spark, tmp_path):
@@ -152,6 +159,11 @@ def test_zero_term_corpus_build_and_search(spark, tmp_path):
     eng = SearchEngine(spark, out)
     assert eng.search_ids("anything", k=5).count() == 0
     assert eng.search("anything", k=5).count() == 0
+    from search_engine_spark.operators.compaction import compact_index
+
+    r = compact_index(spark, out, n_parts=1)
+    assert r["parts_after"] == 1
+    assert SearchEngine(spark, out).search_ids("anything", k=5).count() == 0
 
 
 def test_broadcast_offsets_path_identical(spark, transcripts_df, tmp_path,
