@@ -65,7 +65,7 @@ ANN_PROBES = 1 + ANN_SIGN_DIMS  # query bucket + all Hamming-1 neighbors
 EMBED_BUCKET_CAP = 1024  # sign-bucket cap for the near-dup self-join
 TOPK = 10
 FP_MOD = 1_000_000_007
-BUILD_TAG = "v5"     # bump to invalidate cached /tmp indexes (v5: analyzer a3)
+BUILD_TAG = "v6"     # bump to invalidate cached /tmp indexes (v6: min_dl block bound)
 
 _WS = "[ \\t\\n\\r]+"  # explicit class: java regex \s and RE2 \s differ on \x0B
 
@@ -365,11 +365,12 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 def _engine_topk(
     spark: SparkSession, sf_dir: str, terms, mode: str, k: int = TOPK,
     conjunctive: bool = True, max_df: int | None = None, offset: int = 0,
+    use_blockmax: bool | None = None,
 ) -> DataFrame:
     eng = SearchEngine(spark, ensure_index(spark, sf_dir))
     ids = eng.search_ids(" ".join(terms), k=k, mode=mode,
                          conjunctive=conjunctive, max_df=max_df,
-                         offset=offset)
+                         offset=offset, use_blockmax=use_blockmax)
     remap = eng.documents.select("doc_id", "turn_idx")
     return (
         ids.join(remap, "doc_id")
@@ -540,6 +541,21 @@ def q_engine_rare_topk(spark, sf_dir):
 def q_engine_relevance_ref(spark, sf_dir):
     """Engine top-k in reference-parity scoring mode."""
     return _engine_topk(spark, sf_dir, QUERY_TERMS, "relevance_ref")
+
+
+HOT_QUERY_TERM = "customer"  # highest-df dictionary term at sf0.01 (394)
+
+
+def q_engine_hot_topk(spark, sf_dir):
+    """Single hot-term query through the two-pass block-max plan
+    (query.py _single_term_topk, forced on): seed the k best-bounded
+    blocks -> provisional kth score -> decode only blocks whose
+    drift-immune score bound clears it. The oracle is the plain
+    single-term SQL scorer — green means the WAND-style skip is exact,
+    not approximate."""
+    return _engine_topk(
+        spark, sf_dir, (HOT_QUERY_TERM,), "bm25", use_blockmax=True
+    )
 
 
 def q_engine_disjunctive(spark, sf_dir):
@@ -2982,6 +2998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_bm25_topk": q_engine_bm25_topk,
     "engine_rare_topk": q_engine_rare_topk,
     "engine_relevance_ref": q_engine_relevance_ref,
+    "engine_hot_topk": q_engine_hot_topk,
     "engine_disjunctive": q_engine_disjunctive,
     "engine_maxdf_topk": q_engine_maxdf_topk,
     "engine_paged_topk": q_engine_paged_topk,
@@ -3058,6 +3075,8 @@ ORACLES: dict[str, str] = {
     "engine_bm25_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
     "engine_rare_topk": _topk_sql(list(RARE_QUERY_TERMS), "bm25"),
     "engine_relevance_ref": _topk_sql(_oracle_terms_sorted(), "relevance_ref"),
+    # single hot term through the forced block-max plan == plain scorer
+    "engine_hot_topk": _topk_sql([HOT_QUERY_TERM], "bm25"),
     "engine_disjunctive": _topk_sql(
         list(RARE_QUERY_TERMS), "bm25", conjunctive=False
     ),

@@ -75,6 +75,11 @@ def compact_index(
 
     corpus_row = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
     avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
+    # parts are re-encoded with the CURRENT stats read right here, so
+    # they regain the current epoch — compaction restores the stored
+    # block_max_score pruning an incremental run disabled
+    _ep = corpus_row.asDict().get("stats_epoch")
+    stats_epoch = int(_ep) if _ep is not None else None
     term_stats = spark.read.parquet(stats_path)
 
     try:
@@ -133,6 +138,7 @@ def compact_index(
             "bytes_compressed": int(m["bytes_compressed"] or 0),
             "blocks": int(m["blocks"] or 0),
             "index_version": version,
+            "stats_epoch": stats_epoch,
         }
 
     # parts are independent jobs writing disjoint dirs — run them

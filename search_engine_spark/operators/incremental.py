@@ -94,9 +94,14 @@ def resolve_n_buckets(spark: SparkSession, out_dir: str,
 
 
 def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
-                     n_buckets: int) -> tuple[int, float]:
+                     n_buckets: int,
+                     stats_epoch: int | None = None) -> tuple[int, float]:
     """Global stats from the durable fact tables (drift-free df —
-    SURVEY.md §7.5). Returns (n_docs, avgdl)."""
+    SURVEY.md §7.5). Returns (n_docs, avgdl). ``stats_epoch`` stamps the
+    rewrite; part manifest rows carrying a DIFFERENT epoch are thereby
+    marked as encoded under older stats, which disables the query
+    engine's stored-block_max_score pruning until a compaction
+    re-encodes them (query.py:_block_bound_col)."""
     stats_path = f"{out_dir}/term_stats"
     corpus_path = f"{out_dir}/corpus_stats"
     raw = spark.read.parquet(f"{out_dir}/_staging_postings_raw")
@@ -110,6 +115,7 @@ def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
         F.max("dl").cast("double").alias("max_tf_sum"),
         F.lit(version).alias("index_version"),
         F.lit(n_buckets).alias("n_buckets"),
+        F.lit(stats_epoch).cast("long").alias("stats_epoch"),
     ).write.mode("overwrite").parquet(f"{corpus_path}_new")
     # atomic-ish swap via overwrite (Iceberg snapshot commit on clusters)
     spark.read.parquet(f"{stats_path}_new").write.mode("overwrite").parquet(stats_path)
@@ -192,7 +198,11 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
     # would commit the parts with stale term_stats/corpus_stats and no
     # self-repair path (the part stops being an orphan, recovery never
     # re-triggers, every query scores with pre-batch idf/avgdl).
-    n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets)
+    # recovered orphan parts were encoded under unknowable pre-crash
+    # stats: a fresh epoch here (with no matching part stamps) keeps the
+    # stored-block-max validity check conservatively false
+    n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets,
+                                 stats_epoch=int(time.time() * 1e6))
     for p in finish:
         m = (
             spark.read.parquet(f"{out_dir}/postings/part_id={p}")
@@ -361,7 +371,14 @@ def incremental_update(
     analyzed.unpersist()
     ranged.unpersist()
 
-    n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets)
+    # the new part was encoded with POST-merge stats (docs_after, union
+    # df, union avgdl — integer dl/df sums make those bit-identical to
+    # what _recompute_stats persists), so it may carry the new epoch;
+    # PRE-existing parts keep their old epochs, which correctly disables
+    # stored-block-max pruning until compaction re-encodes them
+    new_epoch = int(time.time() * 1e6)
+    n_docs, _ = _recompute_stats(spark, out_dir, version, n_buckets,
+                                 stats_epoch=new_epoch)
 
     # COMMIT: the manifest part row marks the batch durable
     _write_manifest_row(
@@ -377,6 +394,7 @@ def incremental_update(
             "bytes_compressed": int(m["bytes_compressed"] or 0),
             "blocks": int(m["blocks"] or 0),
             "index_version": version,
+            "stats_epoch": new_epoch,
         },
     )
     row = dict(manifest["stage_docs"])

@@ -339,6 +339,12 @@ def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
                 "first_doc_id": ids[starts],
                 "last_doc_id": ids[ends - 1],
                 "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+                # min_dl feeds the query-side drift-immune block bound
+                # (query.py:_block_bound_col): f(max_tf, max(min_dl,
+                # max_tf)) upper-bounds every score in the block with
+                # CURRENT stats, where the stored block_max_score freezes
+                # encode-time stats
+                "min_dl": np.minimum.reduceat(dls, starts).astype(np.int32),
                 "block_max_score": np.maximum.reduceat(bscores, starts),
             },
         )
@@ -606,6 +612,9 @@ def build_index(
     # collect, and the commit — everything else overlaps or is parallel.
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         t0 = time.time()
+        # one epoch per stats write; parts stamp it into their manifest
+        # rows so the query engine can prove block_max_score freshness
+        stats_epoch = int(t0 * 1e6)
         clean = clean_transcripts(transcripts)
         with_ids, cached, n_docs = assign_doc_ids(clean, spark)
         _plog("shuffle+count (materialize cache)", t0)
@@ -654,6 +663,7 @@ def build_index(
                         # index's physical layout: persist it so readers
                         # never guess a different n_buckets
                         "n_buckets": int(n_buckets),
+                        "stats_epoch": stats_epoch,
                     }
                 ]
             )
@@ -762,6 +772,7 @@ def build_index(
             "cached": cached,
             "stats_future": f_stats,
             "finalize": _finalize_stage_a,
+            "stats_epoch": stats_epoch,
             "avgdl": (
                 float(fm["tok_sum"]) / float(n_docs)
                 if fm["tok_sum"]
@@ -809,10 +820,13 @@ def build_index(
     if fresh is not None:
         avgdl = fresh["avgdl"]
         max_tf_sum = fresh["max_tf_sum"]
+        stats_epoch = fresh["stats_epoch"]
     else:
         corpus_row = spark.read.parquet(corpus_path).collect()[0]
         avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
         max_tf_sum = float(corpus_row["max_tf_sum"] or 0.0)
+        _ep = corpus_row.asDict().get("stats_epoch")
+        stats_epoch = int(_ep) if _ep is not None else None
 
     # ---------------- Stage C: per-part posting encode ---------------------
     # Fresh and resume take the SAME path: each part reads its
@@ -911,6 +925,7 @@ def build_index(
                 "bytes_compressed": int(m["bytes_compressed"] or 0),
                 "blocks": int(m["blocks"] or 0),
                 "index_version": index_version,
+                "stats_epoch": stats_epoch,
             },
         )
 

@@ -9,8 +9,13 @@ Flow per query:
      — documented deviation, it changes recall).
   4. posting-block scan: parquet read pruned by `bucket` partition dirs +
      `term` row-group min/max; decode + per-term BM25 partials in
-     mapInPandas (Arrow, numpy) with block-max pruning under conjunctive
-     semantics.
+     mapInPandas (Arrow, numpy). Multi-term conjunctive queries
+     additionally prune to the RAREST term's doc_id ranges (the
+     distributed analog of WAND pointer advance); hot SINGLE-term
+     queries run two-pass block-max pruning (seed the k best-bounded
+     blocks -> provisional kth score -> skip every block whose score
+     upper bound is strictly below it — exact, tie-safe; see
+     _single_term_topk).
   5. per-doc combine: pivot per-term partial scores and sum in FIXED
      df-ascending term order (left-to-right chain) so float accumulation is
      bit-identical to the single-node oracle — rank-identity without
@@ -78,6 +83,8 @@ class SearchEngine:
         self.n_docs = int(corpus["n_docs"])
         self.avgdl = float(corpus["avgdl"]) if corpus["avgdl"] else 1.0
         self.max_tf_sum = float(corpus["max_tf_sum"] or 1.0)
+        _ep = corpus.asDict().get("stats_epoch")
+        self._stats_epoch = int(_ep) if _ep is not None else None
         self.term_stats = spark.read.parquet(f"{index_dir}/term_stats")
         try:
             self.postings = spark.read.parquet(f"{index_dir}/postings")
@@ -126,13 +133,34 @@ class SearchEngine:
         # path. Rebuild the engine after an incremental_update.
         self._df_cache: dict[str, int | None] = {}
         self._ranges_cache: dict[str, list[tuple[int, int]] | None] = {}
+        self._stored_bmx_valid: bool | None = None
+
+    VALID_MODES = ("bm25", "relevance_ref")
+
+    @classmethod
+    def _check_mode(cls, mode: str) -> None:
+        # an unrecognized mode must never silently fall through to the
+        # relevance_ref else-branches in the scoring kernels
+        if mode not in cls.VALID_MODES:
+            raise ValueError(
+                f"unknown scoring mode {mode!r}; valid: {cls.VALID_MODES}"
+            )
 
     # ------------------------------------------------------------------
     def lookup_terms(self, query: str, max_df: int | None = None) -> tuple[list[TermInfo], int]:
         """Analyze + dictionary lookup. Returns (present terms df-asc,
-        n_query_terms). Missing terms under conjunctive semantics make the
-        result empty — the caller decides."""
+        n_missing = count of analyzed terms absent from the dictionary).
+        Missing terms under conjunctive semantics make the result empty —
+        the caller decides."""
         q_terms = sorted(set(analyze_text(query)))
+        return self._infos_for_terms(q_terms, max_df=max_df)
+
+    def _infos_for_terms(
+        self, q_terms: list[str], max_df: int | None = None
+    ) -> tuple[list[TermInfo], int]:
+        """lookup_terms over an already-analyzed, sorted lemma set — the
+        shared core, so search_many analyzes each query text exactly
+        once."""
         if not q_terms:
             return [], 0
         self._fill_df_cache(q_terms)
@@ -204,8 +232,16 @@ class SearchEngine:
     def _rare_term_ranges(self, rare: TermInfo) -> list[tuple[int, int]] | None:
         if rare.term in self._ranges_cache:
             return self._ranges_cache[rare.term]
+        from ..functions.spark_hash import spark_bucket
+
+        # bucket partition filter first (like candidate_scores /
+        # _collect_ranges_bulk) so this cold-path metadata collect lists
+        # ONE bucket dir, not all N
         rows = (
-            self.postings.filter(F.col("term") == rare.term)
+            self.postings.filter(
+                (F.col("bucket") == spark_bucket(rare.term, self.n_buckets))
+                & (F.col("term") == rare.term)
+            )
             .select("first_doc_id", "last_doc_id")
             .limit(self.PRUNE_MAX_RARE_BLOCKS + 1)
             .collect()
@@ -347,6 +383,7 @@ class SearchEngine:
         mode: str = "bm25",
         conjunctive: bool = True,
         scope_ranges: list[tuple[int, int]] | None = None,
+        blocks_df: DataFrame | None = None,
     ) -> DataFrame:
         """Decode matching posting blocks -> (doc_id, order, s) partial
         scores. Partition-pruned by bucket, row-group pruned by term,
@@ -380,10 +417,17 @@ class SearchEngine:
         # PartitionFilters (whole bucket dirs skipped)
         from ..functions.spark_hash import spark_bucket
 
-        buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
-        blocks = self.postings.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        )
+        if blocks_df is not None:
+            # caller supplies a pre-filtered block set (the block-max
+            # seed / threshold-kept sets of _single_term_topk)
+            blocks = blocks_df
+        else:
+            buckets = sorted(
+                {spark_bucket(t, self.n_buckets) for t in terms}
+            )
+            blocks = self.postings.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
         if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
             overlap = None
             for lo, hi in ranges:
@@ -482,6 +526,7 @@ class SearchEngine:
         conjunctive: bool = True,
         scope: str | None = None,
         use_batch_plan: bool | None = None,
+        use_blockmax: bool | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) — the rank-identity contract surface.
         ``scope`` restricts results to conversations whose conv_id starts
@@ -501,7 +546,41 @@ class SearchEngine:
         contract (enforced by tests/test_query.py both ways). Pass
         ``use_batch_plan=False`` to force the classic plan (the
         regression tests compare the two), or True to assert batch
-        eligibility."""
+        eligibility. Hot SINGLE-term queries (df >=
+        BLOCKMAX_MIN_POSTINGS) route to the two-pass block-max plan
+        instead (``use_blockmax`` forces it on/off; all three plans are
+        bit-identical by contract)."""
+        self._check_mode(mode)
+        empty = self.spark.createDataFrame(
+            [], schema="doc_id long, score double"
+        )
+        # block-max routing: only from the fully-default state (both
+        # plan flags None) or when explicitly forced — an explicit
+        # use_batch_plan True/False pins that plan for regression tests
+        if use_blockmax is None:
+            use_blockmax = False
+            if (use_batch_plan is None and offset == 0 and scope is None
+                    and max_df is None):
+                infos, n_missing = self.lookup_terms(query)
+                if len(infos) == 1 and not (conjunctive and n_missing):
+                    use_blockmax = (
+                        infos[0].df >= self.BLOCKMAX_MIN_POSTINGS
+                    )
+        if use_blockmax:
+            if offset != 0 or scope is not None or max_df is not None:
+                raise ValueError(
+                    "use_blockmax=True requires offset=0, scope=None, "
+                    "max_df=None (those features ride the classic plan)"
+                )
+            infos, n_missing = self.lookup_terms(query)
+            if conjunctive and n_missing:
+                return empty
+            if len(infos) != 1:
+                raise ValueError(
+                    "use_blockmax=True requires a single-term query; got "
+                    f"{len(infos)} dictionary terms"
+                )
+            return self._single_term_topk(infos[0], k, mode)
         if use_batch_plan is None:
             use_batch_plan = False
             if offset == 0 and scope is None and max_df is None:
@@ -524,9 +603,6 @@ class SearchEngine:
                 .select("doc_id", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
             )
-        empty = self.spark.createDataFrame(
-            [], schema="doc_id long, score double"
-        )
         infos, n_missing = self.lookup_terms(query, max_df=max_df)
         if conjunctive and n_missing:
             # a query term absent from the dictionary -> no doc matches ALL
@@ -601,6 +677,135 @@ class SearchEngine:
         return topk
 
     # ------------------------------------------------------------------
+    # Single-term block-max pruning (SURVEY.md §7.3, the true block-max
+    # half of "block-max WAND"): engage only when decoding the whole
+    # posting list is expensive enough to buy back the extra seed job
+    BLOCKMAX_MIN_POSTINGS = 100_000
+
+    def _stored_blockmax_valid(self) -> bool:
+        """True iff the stored per-block ``block_max_score`` column is
+        provably consistent with CURRENT corpus stats: every part's
+        manifest row carries the stats_epoch its encoder read, and all
+        of them match the epoch stamped on corpus_stats. Any stats
+        rewrite (incremental merge) bumps the corpus epoch without
+        touching old parts' stamps, so this flips false until a
+        compaction re-encodes every part under the new stats. Memoized
+        (snapshot-view engine)."""
+        if self._stored_bmx_valid is None:
+            valid = False
+            if self._stats_epoch is not None:
+                from .index_build import _read_manifest
+
+                parts = [
+                    r
+                    for name, r in _read_manifest(self.index_dir).items()
+                    if name.startswith("part_")
+                ]
+                valid = bool(parts) and all(
+                    r.get("stats_epoch") is not None
+                    and int(r["stats_epoch"]) == self._stats_epoch
+                    for r in parts
+                )
+            self._stored_bmx_valid = valid
+        return self._stored_bmx_valid
+
+    def _block_bound_col(self, info: TermInfo, mode: str) -> F.Column:
+        """Per-block score UPPER BOUND as a Catalyst expression over the
+        block row, from ``max_tf`` and the CURRENT corpus stats — never
+        the stored ``block_max_score``, which is frozen at encode time
+        and goes stale when incremental updates shift n_docs/avgdl
+        (idf can then rise above the stored bound and pruning with it
+        would silently drop true hits). The BM25 partial is increasing
+        in tf and decreasing in dl, so f(max_tf, dl_eff) with
+        dl_eff = max(min_dl, max_tf) upper-bounds every score in the
+        block: docs with dl >= dl_eff are dominated directly, and a doc
+        shorter than max_tf has tf <= dl < max_tf, so its score
+        f(tf, dl) <= g(dl) <= g(max_tf) <= f(max_tf, dl_eff), where
+        g(t) = f(t, t) is increasing. The arithmetic mirrors
+        decode_score's numpy literally — when the block's best doc
+        has (tf, dl) == (max_tf, dl_eff) the bound equals its score
+        bit-for-bit, so the ``bound >= tau`` keep-test is tie-safe.
+        Indexes encoded before the min_dl column exist fall back to
+        dl_eff = max_tf (sound, looser)."""
+        mt = F.col("max_tf").cast("double")
+        if mode == "bm25":
+            if self._stored_blockmax_valid():
+                # exact per-block maximum, computed at encode with the
+                # SAME expression shape as decode_score — far tighter
+                # than any metadata bound (measured 5432 -> 206 blocks
+                # on a 693k-df term, PERF.md)
+                return F.col("block_max_score")
+            dl_eff = (
+                F.greatest(F.col("min_dl"), F.col("max_tf")).cast("double")
+                if "min_dl" in self.postings.columns
+                else mt
+            )
+            idf = self._idf(info.df)
+            denom = mt + F.lit(K1) * (
+                F.lit(1 - B) + F.lit(B) * dl_eff / F.lit(self.avgdl)
+            )
+            return (F.lit(idf) * (mt * F.lit(K1 + 1))) / denom
+        return mt / F.lit(self.max_tf_sum)
+
+    def _single_term_topk(self, info: TermInfo, k: int, mode: str) -> DataFrame:
+        """Two-pass EXACT block-max top-k for a single-term query:
+
+        1. seed: decode only the k blocks with the highest score bound
+           (TakeOrderedAndProject over block metadata — no full decode)
+           and collect their top-k -> provisional kth score ``tau``.
+           Since the final top-k is over a superset of the seed docs,
+           the true kth best score is >= tau.
+        2. keep exactly the blocks whose bound >= tau; every doc in a
+           dropped block scores <= bound < tau <= true-kth — strictly
+           below, so it cannot enter the top-k even via the doc_id
+           tie-break. The kept set necessarily contains every seed
+           block (a block's bound >= its docs' scores >= tau for the
+           block holding the tau doc). Decoding the kept set therefore
+           yields the identical top-k, bit-for-bit.
+
+        The win on a hot term (df ~ n_docs): the Arrow/numpy decode —
+        the expensive half of the read path — runs over the few blocks
+        whose max_tf competes, instead of df/block_size blocks; the
+        bound filter itself is a cheap JVM predicate on block metadata
+        rows."""
+        from ..functions.spark_hash import spark_bucket
+
+        term_blocks = self.postings.filter(
+            (F.col("bucket") == spark_bucket(info.term, self.n_buckets))
+            & (F.col("term") == info.term)
+        )
+        bound = self._block_bound_col(info, mode)
+        seed = (
+            term_blocks.withColumn("_bms", bound)
+            .orderBy(F.desc("_bms"), F.asc("first_doc_id"))
+            .limit(k)
+            .drop("_bms")
+        )
+        seed_rows = (
+            self.candidate_scores(
+                [info], mode=mode, conjunctive=False, blocks_df=seed
+            )
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) < k:
+            kept = term_blocks  # fewer than k seed docs: no sound bound
+        else:
+            tau = float(seed_rows[-1]["s"])
+            kept = term_blocks.filter(bound >= F.lit(tau))
+        partials = self.candidate_scores(
+            [info], mode=mode, conjunctive=False, blocks_df=kept
+        )
+        # single term: the partial IS the score (the classic pivot's
+        # 0.0 + s chain is an IEEE no-op on the positive partial)
+        return (
+            partials.select("doc_id", F.col("s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    # ------------------------------------------------------------------
     PREFIX_MAX_EXPANSIONS = 64
 
     def search_prefix(
@@ -624,6 +829,7 @@ class SearchEngine:
         1-char prefix over a 100 TB vocabulary is a user error, and
         silently scoring a truncated expansion set would change ranking;
         Lucene throws TooManyClauses for the same reason)."""
+        self._check_mode(mode)
         cap = (
             self.PREFIX_MAX_EXPANSIONS
             if max_expansions is None
@@ -707,18 +913,21 @@ class SearchEngine:
         lexsort) — k-bounded rows per (query, partition). The final
         combine is a row_number window over |queries| x partitions x k
         rows that compiles to WindowGroupLimit."""
+        self._check_mode(mode)
         if not isinstance(queries, dict):
             queries = {f"q{i}": q for i, q in enumerate(queries)}
         out_schema = "query_id string, doc_id long, score double"
-        # ONE dictionary lookup for the union vocabulary (then the
-        # per-query lookup_terms calls below are pure cache hits)
-        union_terms = sorted(
-            {t for q in queries.values() for t in analyze_text(q)}
-        )
+        # analyze each query text exactly ONCE, then one dictionary
+        # lookup for the union vocabulary (the per-query info builds
+        # below are pure cache hits on the pre-analyzed lemma sets)
+        q_lemmas = {
+            qid: sorted(set(analyze_text(q))) for qid, q in queries.items()
+        }
+        union_terms = sorted({t for ts in q_lemmas.values() for t in ts})
         self._fill_df_cache(union_terms)
         per_q: dict[str, list[TermInfo]] = {}
-        for qid, qtext in queries.items():
-            infos, n_missing = self.lookup_terms(qtext)
+        for qid, q_terms in q_lemmas.items():
+            infos, n_missing = self._infos_for_terms(q_terms)
             if not infos or (conjunctive and n_missing):
                 continue
             per_q[qid] = infos

@@ -92,6 +92,11 @@ CORPUS_STATS = T.StructType(
         # bucket->directory layout (physical index property; readers resolve
         # it from here instead of trusting a caller default)
         T.StructField("n_buckets", T.IntegerType(), False),
+        # bumped on EVERY stats rewrite (fresh build, incremental merge);
+        # part manifest rows record the epoch their encoder read, so the
+        # query engine can prove the stored block_max_score column is
+        # consistent with current stats before pruning with it
+        T.StructField("stats_epoch", T.LongType(), True),
     ]
 )
 
@@ -113,6 +118,7 @@ POSTINGS = T.StructType(
         T.StructField("first_doc_id", T.LongType(), False),
         T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("block_max_score", T.DoubleType(), False),
         T.StructField("bucket", T.IntegerType(), False),  # partition col
     ]

@@ -251,3 +251,43 @@ def test_incremental_refuses_missing_staging(spark, split_corpora, tmp_path):
     (P(idx) / "_staging_compacting").rename(staging)
     res = incremental_update(spark, extra_sdf, idx)
     assert "new_docs" in res
+
+
+def test_stats_epoch_gates_stored_blockmax(spark, tmp_path):
+    """Stored-block_max_score pruning validity over the index lifecycle:
+    fresh build -> valid; incremental merge (stats rewritten, old parts
+    keep their encode-time epoch) -> invalid, engine falls back to the
+    metadata bound but stays exact; compaction (re-encode under current
+    stats) -> valid again. Block-max results must equal the classic plan
+    at every stage."""
+    from search_engine_spark.operators.compaction import compact_index
+
+    pdf = make_transcripts(n_conversations=40, seed=77)
+    convs = sorted(pdf["conv_id"].unique())
+    cut = convs[len(convs) // 2]
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf[pdf["conv_id"] < cut]), idx,
+                n_parts=2, resume=False)
+
+    def _check_identical(msg):
+        eng = SearchEngine(spark, idx)
+        hot = eng.term_stats.orderBy(F.desc("df"), F.asc("term")).limit(
+            1
+        ).collect()[0]["term"]
+        fast = eng.search_ids(hot, k=5, use_blockmax=True).toPandas()
+        classic = eng.search_ids(hot, k=5, use_batch_plan=False).toPandas()
+        assert fast["doc_id"].tolist() == classic["doc_id"].tolist(), msg
+        assert fast["score"].tolist() == classic["score"].tolist(), msg
+        return eng
+
+    eng = _check_identical("fresh")
+    assert eng._stored_blockmax_valid() is True
+
+    incremental_update(spark, _to_sdf(spark, pdf[pdf["conv_id"] >= cut]),
+                       idx)
+    eng = _check_identical("post-incremental")
+    assert eng._stored_blockmax_valid() is False
+
+    compact_index(spark, idx, n_parts=2)
+    eng = _check_identical("post-compaction")
+    assert eng._stored_blockmax_valid() is True

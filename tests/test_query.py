@@ -172,3 +172,116 @@ def test_search_many_disjunctive_and_modes(engine):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "doc_id", "score",
     ]
+
+
+def _hot_terms(engine, n=5):
+    """The n highest-df dictionary terms — the queries block-max exists
+    for (deterministic: df desc, term asc)."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        engine.term_stats.orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+@pytest.mark.parametrize("mode", ["bm25", "relevance_ref"])
+def test_blockmax_equals_classic_plan(engine, mode):
+    """Two-pass block-max single-term top-k must be bit-identical to the
+    classic full-decode plan on the hottest dictionary terms (where the
+    seed threshold actually prunes blocks) for both scoring modes."""
+    for term in _hot_terms(engine):
+        fast = engine.search_ids(
+            term, k=10, mode=mode, use_blockmax=True
+        ).toPandas()
+        classic = engine.search_ids(
+            term, k=10, mode=mode, use_batch_plan=False
+        ).toPandas()
+        assert fast["doc_id"].tolist() == classic["doc_id"].tolist(), term
+        assert fast["score"].tolist() == classic["score"].tolist(), term
+
+
+def test_blockmax_threshold_actually_prunes(spark, tmp_path):
+    """On a corpus with real tf spread (a few tf-heavy docs over a sea
+    of tf=1 mentions — the Zipf-head shape block-max exists for), the
+    bound >= tau filter must keep strictly fewer blocks than the term
+    has, while the pruned plan stays bit-identical to the classic one.
+
+    The shared fixture corpus is deliberately NOT used: its tfs are
+    near-uniform, so the drift-immune dl:=tf bound clusters and the
+    threshold keeps everything (correct, just no pruning to observe)."""
+    import datetime
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from search_engine_spark.functions.spark_hash import spark_bucket
+    from search_engine_spark.operators.index_build import build_index
+
+    filler = "alpha bravo charlie delta echo foxtrot golf hotel " * 2
+    texts = [f"{filler} hot mention{i}" for i in range(600)]
+    # tf-heavy docs: short, term-dominated (their dl:=tf bound is tight)
+    texts += ["hot " * 8] * 5
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(len(texts))],
+            "turn_idx": 0,
+            "role": "user",
+            "text": texts,
+            "tool": None,
+            "ts": datetime.datetime(2025, 1, 1),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    out = str(tmp_path / "idx_bmx")
+    build_index(spark, spark.createDataFrame(pdf), out, n_parts=2,
+                resume=False)
+    eng = SearchEngine(spark, out)
+    infos, _ = eng.lookup_terms("hot")
+    info = infos[0]
+    term_blocks = eng.postings.filter(
+        (F.col("bucket") == spark_bucket(info.term, eng.n_buckets))
+        & (F.col("term") == info.term)
+    )
+    total = term_blocks.count()
+    assert total >= 4  # 605 postings / 128-block ~ 5 blocks
+    bound = eng._block_bound_col(info, "bm25")
+    seed = (
+        term_blocks.withColumn("_bms", bound)
+        .orderBy(F.desc("_bms"), F.asc("first_doc_id"))
+        .limit(3)
+        .drop("_bms")
+    )
+    rows = (
+        eng.candidate_scores(
+            [info], mode="bm25", conjunctive=False, blocks_df=seed
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(3)
+        .collect()
+    )
+    tau = float(rows[-1]["s"])
+    kept = term_blocks.filter(bound >= F.lit(tau)).count()
+    assert kept < total
+    fast = eng.search_ids("hot", k=3, use_blockmax=True).toPandas()
+    classic = eng.search_ids("hot", k=3, use_batch_plan=False).toPandas()
+    assert fast["doc_id"].tolist() == classic["doc_id"].tolist()
+    assert fast["score"].tolist() == classic["score"].tolist()
+
+
+def test_blockmax_rejects_unsupported_args(engine):
+    with pytest.raises(ValueError):
+        engine.search_ids("query", offset=5, use_blockmax=True)
+    with pytest.raises(ValueError):  # multi-term query
+        engine.search_ids("query index", use_blockmax=True)
+
+
+def test_unknown_mode_raises(engine):
+    with pytest.raises(ValueError):
+        engine.search_ids("query", mode="BM25")
+    with pytest.raises(ValueError):
+        engine.search_many(["query"], mode="bm-25")
+    with pytest.raises(ValueError):
+        engine.search_prefix("qu", mode="tfidf")
