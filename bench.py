@@ -88,6 +88,13 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "engine_snippets": lambda: len(
             eng.search(" ".join(EQ.QUERY_TERMS), k=10).collect()
         ),
+        # forced block-max plan (sf0.1 dfs are below the auto-routing
+        # floor): tracks the two-pass seed+prune path round-over-round
+        "engine_hot_blockmax": lambda: len(
+            eng.search_ids(
+                EQ.HOT_QUERY_TERM, k=10, use_blockmax=True
+            ).collect()
+        ),
         "engine_batch_3q": lambda: len(
             eng.search_many(
                 {q: " ".join(ts) for q, ts in EQ.BATCH_QUERIES.items()},
