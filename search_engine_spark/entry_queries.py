@@ -543,18 +543,38 @@ def q_engine_relevance_ref(spark, sf_dir):
     return _engine_topk(spark, sf_dir, QUERY_TERMS, "relevance_ref")
 
 
-HOT_QUERY_TERM = "customer"  # highest-df dictionary term at sf0.01 (394)
+HOT_QUERY_TERM = "batch"  # highest-df dictionary term at sf0.01 (402)
 
 
 def q_engine_hot_topk(spark, sf_dir):
     """Single hot-term query through the two-pass block-max plan
-    (query.py _single_term_topk, forced on): seed the k best-bounded
-    blocks -> provisional kth score -> decode only blocks whose
-    drift-immune score bound clears it. The oracle is the plain
-    single-term SQL scorer — green means the WAND-style skip is exact,
-    not approximate."""
+    (query.py _single_term_topk, forced on), using the stored
+    block_max_score bound (the gate index is freshly built, so the
+    stats_epoch handshake validates it). The oracle is the plain
+    single-term SQL scorer — green pins the seed/keep-test PLAN to the
+    exact result at gate scale. At sf0.01 the term has ~4 blocks < k,
+    so actual block SKIPPING (and the drift-immune fallback bound) are
+    exercised by tests/test_query.py and the fallback twin below, not
+    by this row alone."""
     return _engine_topk(
         spark, sf_dir, (HOT_QUERY_TERM,), "bm25", use_blockmax=True
+    )
+
+
+def q_engine_hot_fallback_topk(spark, sf_dir):
+    """The SAME hot-term block-max query with the stored-bound validity
+    forced off, so the plan runs on the drift-immune max_tf/min_dl
+    metadata bound — the post-incremental-merge configuration. Same
+    oracle: both bounds must be exact, only their tightness differs."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    eng._stored_bmx_valid = False  # what an epoch mismatch sets up
+    ids = eng.search_ids(HOT_QUERY_TERM, k=TOPK, mode="bm25",
+                         use_blockmax=True)
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
     )
 
 
@@ -2631,16 +2651,22 @@ FROM events
 
 
 def _stream_work_dir(sf_dir: str, tag: str) -> str:
-    """Deterministic per-(corpus, entry) scratch dir for the streaming
-    entries' source/sink/checkpoint, wiped before every run. mkdtemp here
-    would leak a full events-table copy per gate evaluation; a keyed dir
-    bounds /tmp usage to one dir per entry, and the wipe guarantees the
-    availableNow run starts from a fresh checkpoint (a stale one would
-    no-op the trigger and a stale sink would double-append)."""
-    key = hashlib.md5(f"{BUILD_TAG}:{tag}:{sf_dir}".encode()).hexdigest()[:10]
-    base = f"/tmp/ses_stream_{key}"
+    """Deterministic per-(corpus, entry, process) scratch dir for the
+    streaming entries' source/sink/checkpoint, wiped before every run.
+    mkdtemp here would leak a full events-table copy per gate
+    evaluation; a keyed dir bounds /tmp usage to one dir per entry per
+    process, and the wipe guarantees the availableNow run starts from a
+    fresh checkpoint (a stale one would no-op the trigger and a stale
+    sink would double-append). The pid in the key stops two concurrent
+    processes (gate run + verify run) from wiping each other's live
+    stream; within one process, collect the returned DataFrame before
+    re-evaluating the same entry — the wipe invalidates the prior lazy
+    read (the gate and verify harnesses do)."""
+    import os
     import shutil
 
+    key = hashlib.md5(f"{BUILD_TAG}:{tag}:{sf_dir}".encode()).hexdigest()[:10]
+    base = f"/tmp/ses_stream_{key}_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     return base
 
@@ -2999,6 +3025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_rare_topk": q_engine_rare_topk,
     "engine_relevance_ref": q_engine_relevance_ref,
     "engine_hot_topk": q_engine_hot_topk,
+    "engine_hot_fallback_topk": q_engine_hot_fallback_topk,
     "engine_disjunctive": q_engine_disjunctive,
     "engine_maxdf_topk": q_engine_maxdf_topk,
     "engine_paged_topk": q_engine_paged_topk,
@@ -3077,6 +3104,8 @@ ORACLES: dict[str, str] = {
     "engine_relevance_ref": _topk_sql(_oracle_terms_sorted(), "relevance_ref"),
     # single hot term through the forced block-max plan == plain scorer
     "engine_hot_topk": _topk_sql([HOT_QUERY_TERM], "bm25"),
+    # same query on the drift-immune fallback bound (epoch-mismatch mode)
+    "engine_hot_fallback_topk": _topk_sql([HOT_QUERY_TERM], "bm25"),
     "engine_disjunctive": _topk_sql(
         list(RARE_QUERY_TERMS), "bm25", conjunctive=False
     ),

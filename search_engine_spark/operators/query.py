@@ -551,9 +551,12 @@ class SearchEngine:
         instead (``use_blockmax`` forces it on/off; all three plans are
         bit-identical by contract)."""
         self._check_mode(mode)
-        empty = self.spark.createDataFrame(
-            [], schema="doc_id long, score double"
-        )
+
+        def empty() -> DataFrame:
+            return self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
+
         # block-max routing: only from the fully-default state (both
         # plan flags None) or when explicitly forced — an explicit
         # use_batch_plan True/False pins that plan for regression tests
@@ -574,7 +577,7 @@ class SearchEngine:
                 )
             infos, n_missing = self.lookup_terms(query)
             if conjunctive and n_missing:
-                return empty
+                return empty()
             if len(infos) != 1:
                 raise ValueError(
                     "use_blockmax=True requires a single-term query; got "
@@ -609,14 +612,14 @@ class SearchEngine:
             # (reference error contract, SearchServiceImpl.java:60-62);
             # df-pruned terms (P3) do NOT trigger this — they are merely
             # excluded from scoring, matching the reference's pickNonFrequent
-            return empty
+            return empty()
         if not infos:
-            return empty
+            return empty()
         scope_ranges = None
         if scope is not None:
             scope_ranges = self._scope_ranges(scope)
             if scope_ranges is None:  # scope matches no documents
-                return empty
+                return empty()
 
         return self._classic_topk(
             infos, k=k, offset=offset, mode=mode,
@@ -770,6 +773,10 @@ class SearchEngine:
         rows."""
         from ..functions.spark_hash import spark_bucket
 
+        if k <= 0:  # degenerate-but-valid; the classic plan returns empty
+            return self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
         term_blocks = self.postings.filter(
             (F.col("bucket") == spark_bucket(info.term, self.n_buckets))
             & (F.col("term") == info.term)
