@@ -63,6 +63,12 @@ def compact_index(
     require_staging(out_dir, manifest)
     version = manifest["stage_docs"].get("index_version", "v1")
     n_buckets = resolve_n_buckets(spark, out_dir, n_buckets)
+    # repair any crashed incremental batch FIRST: compacting over an
+    # uncommitted orphan staging part would fold its ghost postings into
+    # committed parts (and its replay would then duplicate doc_ids)
+    from .incremental import _recover_uncommitted
+
+    manifest = _recover_uncommitted(spark, out_dir, manifest, n_buckets)
     parts_before = sum(1 for k in manifest if k.startswith("part_"))
 
     staging_path = f"{out_dir}/_staging_postings_raw"
@@ -70,10 +76,16 @@ def compact_index(
     postings_path = f"{out_dir}/postings"
     new_postings = f"{out_dir}/_postings_compacting"
 
-    n_docs = int(manifest["stage_docs"]["n_docs"])
-    part_size = max(1, math.ceil(n_docs / n_parts))
-
     corpus_row = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
+    # n_docs from corpus_stats, the SAME source as avgdl/stats_epoch (and
+    # rewritten in the same _recompute_stats commit): the manifest
+    # stage_docs copy goes stale in the crash window between an
+    # incremental's stats recompute and its manifest rewrite, and a
+    # mismatched pair here would truncate the part range (dropping the
+    # newest docs' postings) while stamping epoch-valid block maxima
+    # computed with the wrong n_docs
+    n_docs = int(corpus_row["n_docs"])
+    part_size = max(1, math.ceil(n_docs / n_parts))
     avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
     # parts are re-encoded with the CURRENT stats read right here, so
     # they regain the current epoch — compaction restores the stored

@@ -36,6 +36,11 @@ Crash-safety (the multi-table append commit protocol):
 Scale notes: the anti-join is a shuffle on (conv_id, turn_idx) sized by the
 NEW batch (existing side is pruned to two columns); stats recompute is one
 agg over the staging table (columnar, term+tf columns only).
+
+Duplicate (conv_id, turn_idx) rows WITHIN one batch are deliberately kept
+(each gets its own doc_id) — a fresh build over the same rows does the
+same (assign_doc_ids has no dedup), so incremental == full-rebuild parity
+holds; dedup is the ingest pipeline's job (dedup_exact and friends).
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ import shutil
 import time
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -117,11 +123,20 @@ def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
         F.lit(n_buckets).alias("n_buckets"),
         F.lit(stats_epoch).cast("long").alias("stats_epoch"),
     ).write.mode("overwrite").parquet(f"{corpus_path}_new")
-    # atomic-ish swap via overwrite (Iceberg snapshot commit on clusters)
-    spark.read.parquet(f"{stats_path}_new").write.mode("overwrite").parquet(stats_path)
-    spark.read.parquet(f"{corpus_path}_new").write.mode("overwrite").parquet(corpus_path)
-    shutil.rmtree(f"{stats_path}_new", ignore_errors=True)
-    shutil.rmtree(f"{corpus_path}_new", ignore_errors=True)
+    # rename swap (same idiom as compact_index's postings/staging swap;
+    # one Iceberg snapshot commit on clusters). Spark's mode("overwrite")
+    # would DELETE the live table before its write job runs — a crash in
+    # that window loses corpus_stats/term_stats outright, bricking every
+    # subsequent operation at entry. The rename gap is instantaneous and
+    # leaves *_old on disk for manual restore; it also skips re-writing
+    # each table a second time through Spark.
+    for tgt in (stats_path, corpus_path):
+        old = f"{tgt}_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if Path(tgt).exists():
+            Path(tgt).rename(old)
+        Path(f"{tgt}_new").rename(tgt)
+        shutil.rmtree(old, ignore_errors=True)
     row = spark.read.parquet(corpus_path).collect()[0]
     return int(row["n_docs"]), float(row["avgdl"]) if row["avgdl"] else 1.0
 
@@ -169,27 +184,78 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
     if not orphans:
         return manifest
     version = manifest["stage_docs"].get("index_version", "v1")
-    docs_max = (
-        spark.read.parquet(f"{out_dir}/documents")
-        .agg(F.max("doc_id")).collect()[0][0]
-    )
+    documents = spark.read.parquet(f"{out_dir}/documents")
+    docs_max = documents.agg(F.max("doc_id")).collect()[0][0]
     docs_max = -1 if docs_max is None else int(docs_max)
     finish: list[int] = []
+    finish_lo: dict[int, int] = {}
+    partial_lo: int | None = None
     for p in orphans:
         staging_part = f"{out_dir}/_staging_postings_raw/part_id={p}"
         postings_part = f"{out_dir}/postings/part_id={p}"
-        lo = (
-            spark.read.parquet(staging_part)
-            .agg(F.min("doc_id")).collect()[0][0]
+        try:
+            span = (
+                spark.read.parquet(staging_part)
+                .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+                .collect()[0]
+            )
+            lo = None if span["lo"] is None else int(span["lo"])
+            hi = None if span["hi"] is None else int(span["hi"])
+        except AnalysisException as ex:
+            # a crash during the staging append's job commit can leave
+            # the part DIRECTORY with zero data files — definitionally
+            # case-(a) garbage, not a reason to brick recovery forever
+            if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                raise
+            lo = hi = None
+        # the documents append commits files one at a time, so covering
+        # the part's MIN doc_id does not prove the whole append landed:
+        # batch doc_ids are dense in [lo, hi], so the append is complete
+        # iff every id in the staging span has a documents row
+        n_in_range = (
+            documents.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+            ).count()
+            if lo is not None
+            else 0
         )
-        if lo is not None and docs_max >= int(lo):
-            # (b) the documents append landed -> staging+postings for this
-            # part are complete; finish the commit below
+        if lo is not None and n_in_range == hi - lo + 1:
+            # (b) the documents append landed in full -> staging+postings
+            # for this part are complete; finish the commit below
             finish.append(p)
+            finish_lo[p] = lo
         else:
-            # (a) crash before the documents append -> uncommitted garbage
+            # (a) crash before/inside the documents append -> uncommitted
+            # garbage. A PARTIAL documents append must be rolled back
+            # too: leaving the landed rows would make the anti-join
+            # treat those turns as indexed (with no postings) forever.
             shutil.rmtree(staging_part, ignore_errors=True)
             shutil.rmtree(postings_part, ignore_errors=True)
+            if lo is not None and 0 < n_in_range:
+                partial_lo = lo if partial_lo is None else min(partial_lo, lo)
+    if partial_lo is not None:
+        if any(lo > partial_lo for lo in finish_lo.values()):
+            # batches are sequential, so a COMPLETE batch cannot start
+            # past a partial one; seeing it means the doc_id-ordering
+            # invariant broke — stay loud, never delete committed docs
+            raise RuntimeError(
+                f"recovery at {out_dir}: complete orphan batch starts "
+                f"beyond partial batch at doc_id {partial_lo} — "
+                "inconsistent index, rebuild with build_index(resume=False)"
+            )
+        # rewrite documents without the partial batch's rows (doc_ids at
+        # or above the rolled-back batch start — batches are sequential,
+        # so nothing committed lives past a rolled-back range). Rename
+        # swap, same idiom as _recompute_stats.
+        docs_path = f"{out_dir}/documents"
+        documents.filter(F.col("doc_id") < partial_lo).write.mode(
+            "overwrite"
+        ).parquet(f"{docs_path}_new")
+        old = f"{docs_path}_old"
+        shutil.rmtree(old, ignore_errors=True)
+        Path(docs_path).rename(old)
+        Path(f"{docs_path}_new").rename(docs_path)
+        shutil.rmtree(old, ignore_errors=True)
     if not finish:
         return _read_manifest(out_dir)
     # Recompute stats BEFORE writing the DONE manifest rows: a crash
@@ -300,76 +366,82 @@ def incremental_update(
     analyzed = with_ids.withColumn("terms", terms_col(F.col("text")))
     analyzed = analyzed.withColumn("dl", F.size("terms")).persist()
 
-    # each batch becomes ONE new part directory — a fresh overwrite of its
-    # own path (atomic locally; an Iceberg snapshot commit on clusters),
-    # never an append into existing part dirs. Number it past every part
-    # ever seen in manifest, staging, OR the postings dir itself, so a
-    # half-committed part id (or a part a crashed compaction swapped in
-    # before its manifest rewrite) is never reused/clobbered.
-    part_new = 1 + max(
-        [int(r["partition_id"]) for r in manifest.values()
-         if int(r.get("partition_id", -1)) >= 0]
-        + list(_staging_part_ids(out_dir))
-        + list(_part_ids_under(out_dir, "postings")),
-        default=-1,
-    )
-    exploded = (
-        analyzed.select("doc_id", "dl", F.explode("terms").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("part_id", F.lit(part_new).cast("int"))
-    )
-    exploded.write.mode("append").partitionBy("part_id").parquet(staging_path)
+    # a failed write below must not pin the batch caches for the
+    # session lifetime (under streaming ingest the session is
+    # long-lived and each failed micro-batch would leak another
+    # batch-sized cache) — same guard as build_index's stage A
+    try:
+        # each batch becomes ONE new part directory — a fresh overwrite of its
+        # own path (atomic locally; an Iceberg snapshot commit on clusters),
+        # never an append into existing part dirs. Number it past every part
+        # ever seen in manifest, staging, OR the postings dir itself, so a
+        # half-committed part id (or a part a crashed compaction swapped in
+        # before its manifest rewrite) is never reused/clobbered.
+        part_new = 1 + max(
+            [int(r["partition_id"]) for r in manifest.values()
+             if int(r.get("partition_id", -1)) >= 0]
+            + list(_staging_part_ids(out_dir))
+            + list(_part_ids_under(out_dir, "postings")),
+            default=-1,
+        )
+        exploded = (
+            analyzed.select("doc_id", "dl", F.explode("terms").alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("part_id", F.lit(part_new).cast("int"))
+        )
+        exploded.write.mode("append").partitionBy("part_id").parquet(staging_path)
 
-    # postings for the new part (df comes from a post-merge recompute below,
-    # but the encoder needs df now for idf-at-encode — use the union view:
-    # staging already contains the new part)
-    raw = spark.read.parquet(staging_path)
-    term_stats_now = raw.groupBy("term").agg(F.count("*").alias("df"))
-    docs_after = base + n_new
-    # avgdl over ALL docs after this batch: existing docs' dl + new batch dl
-    avg_row = (
-        existing.select("dl")
-        .unionByName(analyzed.select("dl"))
-        .agg(F.avg("dl").alias("a"))
-        .collect()[0]
-    )
-    avgdl = float(avg_row["a"]) if avg_row["a"] else 1.0
+        # postings for the new part (df comes from a post-merge recompute below,
+        # but the encoder needs df now for idf-at-encode — use the union view:
+        # staging already contains the new part)
+        raw = spark.read.parquet(staging_path)
+        term_stats_now = raw.groupBy("term").agg(F.count("*").alias("df"))
+        docs_after = base + n_new
+        # avgdl over ALL docs after this batch: existing docs' dl + new batch dl
+        avg_row = (
+            existing.select("dl")
+            .unionByName(analyzed.select("dl"))
+            .agg(F.avg("dl").alias("a"))
+            .collect()[0]
+        )
+        avgdl = float(avg_row["a"]) if avg_row["a"] else 1.0
 
-    raw_p = raw.filter(F.col("part_id") == part_new)
-    batch_span = max(1, n_new)
-    hash_ids = check_hash_ids(term_stats_now)
-    salted = prepare_salted(
-        raw_p, term_stats_now, base, batch_span, salt_budget, hash_ids
-    )
-    encoded = _attach_terms(
-        encode_salted(salted, spark, docs_after, avgdl, block_size),
-        term_stats_now,
-        n_buckets,
-        hash_ids,
-    )
-    obs = Observation(f"incr_part_{part_new}_{int(t0)}")
-    encoded = encoded.observe(
-        obs,
-        F.sum("n").alias("postings_written"),
-        F.approx_count_distinct("term").alias("terms_merged"),
-        F.sum(
-            F.length("doc_ids") + F.length("tfs") + F.length("dls")
-        ).alias("bytes_compressed"),
-        F.count(F.lit(1)).alias("blocks"),
-    )
-    encoded.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{postings_path}/part_id={part_new}"
-    )
-    m = obs.get
+        raw_p = raw.filter(F.col("part_id") == part_new)
+        batch_span = max(1, n_new)
+        hash_ids = check_hash_ids(term_stats_now)
+        salted = prepare_salted(
+            raw_p, term_stats_now, base, batch_span, salt_budget, hash_ids
+        )
+        encoded = _attach_terms(
+            encode_salted(salted, spark, docs_after, avgdl, block_size),
+            term_stats_now,
+            n_buckets,
+            hash_ids,
+        )
+        obs = Observation(f"incr_part_{part_new}_{int(t0)}")
+        encoded = encoded.observe(
+            obs,
+            F.sum("n").alias("postings_written"),
+            F.approx_count_distinct("term").alias("terms_merged"),
+            F.sum(
+                F.length("doc_ids") + F.length("tfs") + F.length("dls")
+            ).alias("bytes_compressed"),
+            F.count(F.lit(1)).alias("blocks"),
+        )
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{postings_path}/part_id={part_new}"
+        )
+        m = obs.get
 
-    # documents LAST among data tables — the anti-join anchor must never
-    # vouch for artifacts that don't exist yet (crash-safety, see docstring)
-    analyzed.select(
-        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"
-    ).write.mode("append").parquet(docs_path)
-    analyzed.unpersist()
-    ranged.unpersist()
+        # documents LAST among data tables — the anti-join anchor must never
+        # vouch for artifacts that don't exist yet (crash-safety, see docstring)
+        analyzed.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"
+        ).write.mode("append").parquet(docs_path)
+    finally:
+        analyzed.unpersist()
+        ranged.unpersist()
 
     # the new part was encoded with POST-merge stats (docs_after, union
     # df, union avgdl — integer dl/df sums make those bit-identical to

@@ -291,3 +291,125 @@ def test_stats_epoch_gates_stored_blockmax(spark, tmp_path):
     compact_index(spark, idx, n_parts=2)
     eng = _check_identical("post-compaction")
     assert eng._stored_blockmax_valid() is True
+
+
+def test_recovery_cleans_empty_orphan_staging_dir(spark, tmp_path):
+    """A crash during the staging append's job commit can leave a
+    part_id=N staging DIRECTORY with zero data files; recovery must
+    classify it as case-(a) garbage (delete), not die on
+    UNABLE_TO_INFER_SCHEMA forever."""
+    import os
+
+    pdf = make_transcripts(n_conversations=10, seed=5)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf), idx, n_parts=1, resume=False)
+    empty_part = f"{idx}/_staging_postings_raw/part_id=99"
+    os.makedirs(empty_part)
+    res = incremental_update(
+        spark, _to_sdf(spark, pdf), idx  # full replay: anti-join no-op
+    )
+    assert res == {"new_docs": 0, "new_parts": 0}
+    assert not os.path.exists(empty_part)
+
+
+def test_compaction_does_not_fold_orphan_staging(spark, tmp_path):
+    """compact_index over an index holding an uncommitted orphan staging
+    part (crashed incremental before the documents append) must repair
+    first: the ghost rows may not leak into the compacted postings or
+    the rewritten staging."""
+    import pandas as pd
+
+    from search_engine_spark.operators.compaction import compact_index
+
+    pdf = make_transcripts(n_conversations=10, seed=6)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf), idx, n_parts=1, resume=False)
+    docs_max = int(
+        spark.read.parquet(f"{idx}/documents").agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    ghost = pd.DataFrame(
+        {
+            "term": ["zzghost"] * 3,
+            "doc_id": [docs_max + 1, docs_max + 2, docs_max + 3],
+            "dl": [3, 3, 3],
+            "tf": [1, 1, 1],
+        }
+    )
+    ghost_dir = f"{idx}/_staging_postings_raw/part_id=7"
+    ghost["doc_id"] = ghost["doc_id"].astype("int64")
+    ghost["dl"] = ghost["dl"].astype("int32")
+    ghost["tf"] = ghost["tf"].astype("int64")
+    import os
+
+    os.makedirs(ghost_dir)
+    ghost.to_parquet(f"{ghost_dir}/part-0.parquet", index=False)
+
+    compact_index(spark, idx, n_parts=2)
+    stats = spark.read.parquet(f"{idx}/term_stats")
+    assert stats.filter(F.col("term") == "zzghost").count() == 0
+    staging = spark.read.parquet(f"{idx}/_staging_postings_raw")
+    assert staging.filter(F.col("term") == "zzghost").count() == 0
+    # and the index still answers correctly
+    eng = SearchEngine(spark, idx)
+    assert eng.search_ids("zzghost", k=5).count() == 0
+
+
+def test_recovery_rolls_back_partial_documents_append(spark, tmp_path):
+    """If the crash hit MID-documents-append (some of the batch's rows
+    landed), recovery must roll the partial rows back — leaving them
+    would mark those turns as indexed (anti-join) with no postings,
+    losing them forever. After rollback + replay the index must equal a
+    full rebuild."""
+    import json
+    import os
+
+    pdf = make_transcripts(n_conversations=20, seed=9)
+    convs = sorted(pdf["conv_id"].unique())
+    cut = convs[len(convs) // 2]
+    base_pdf, extra_pdf = pdf[pdf["conv_id"] < cut], pdf[pdf["conv_id"] >= cut]
+    idx = str(tmp_path / "idx")
+    full = str(tmp_path / "full")
+    build_index(spark, _to_sdf(spark, base_pdf), idx, n_parts=1,
+                resume=False)
+    build_index(spark, _to_sdf(spark, pdf), full, n_parts=1, resume=False)
+    base_max = int(
+        spark.read.parquet(f"{idx}/documents").agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    incremental_update(spark, _to_sdf(spark, extra_pdf), idx)
+
+    # simulate the crash: un-commit the part (drop its manifest row) and
+    # drop PART of the batch's documents rows
+    part_rows = [
+        f for f in os.listdir(f"{idx}/_manifest")
+        if f.startswith("part_") and json.load(
+            open(f"{idx}/_manifest/{f}")
+        )["partition_id"] > 0
+    ]
+    assert len(part_rows) == 1
+    os.remove(f"{idx}/_manifest/{part_rows[0]}")
+    docs = spark.read.parquet(f"{idx}/documents")
+    # keep base docs + only the FIRST row of the batch (partial append)
+    partial = docs.filter(
+        (F.col("doc_id") <= base_max) | (F.col("doc_id") == base_max + 1)
+    )
+    partial.write.mode("overwrite").parquet(f"{idx}/documents_new")
+    shutil.rmtree(f"{idx}/documents")
+    os.rename(f"{idx}/documents_new", f"{idx}/documents")
+
+    # replaying the batch must first roll back the partial row, then
+    # re-index the whole batch
+    incremental_update(spark, _to_sdf(spark, extra_pdf), idx)
+    full_stats = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{full}/term_stats").collect()
+    }
+    incr_stats = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{idx}/term_stats").collect()
+    }
+    assert full_stats == incr_stats
+    n_full = spark.read.parquet(f"{full}/documents").count()
+    n_incr = spark.read.parquet(f"{idx}/documents").count()
+    assert n_full == n_incr
