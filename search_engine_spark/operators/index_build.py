@@ -214,6 +214,21 @@ def _read_manifest(out_dir: str) -> dict[str, dict]:
     return out
 
 
+def _manifest_part_epoch(manifest: dict) -> int | None:
+    """The single stats_epoch shared by EVERY DONE part row, else None.
+    Used by resume paths to keep rewritten (bit-identical) stats on the
+    same epoch as surviving parts — see build_index."""
+    eps = {
+        r.get("stats_epoch")
+        for name, r in manifest.items()
+        if name.startswith("part_")
+    }
+    eps.discard(None)
+    if len(eps) == 1:
+        return int(next(iter(eps)))
+    return None
+
+
 def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
     """The build_manifest table (per-partition lineage + metrics)."""
     rows = []
@@ -613,8 +628,14 @@ def build_index(
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         t0 = time.time()
         # one epoch per stats write; parts stamp it into their manifest
-        # rows so the query engine can prove block_max_score freshness
-        stats_epoch = int(t0 * 1e6)
+        # rows so the query engine can prove block_max_score freshness.
+        # A resume that redoes stage A REUSES the epoch any surviving
+        # DONE parts carry: stage A is deterministic over the same input
+        # (the documented resume contract), so the rewritten stats are
+        # bit-identical to what those parts were encoded under — minting
+        # a fresh epoch here would leave them mixed-epoch and silently
+        # disable stored-block-max pruning until a compaction.
+        stats_epoch = _manifest_part_epoch(manifest) or int(t0 * 1e6)
         clean = clean_transcripts(transcripts)
         with_ids, cached, n_docs = assign_doc_ids(clean, spark)
         _plog("shuffle+count (materialize cache)", t0)
@@ -773,6 +794,7 @@ def build_index(
             "stats_future": f_stats,
             "finalize": _finalize_stage_a,
             "stats_epoch": stats_epoch,
+            "pool": ex,
             "avgdl": (
                 float(fm["tok_sum"]) / float(n_docs)
                 if fm["tok_sum"]
@@ -796,12 +818,18 @@ def build_index(
         ).observe(stats_ob, F.count(F.lit(1)).alias("n_terms")).write.mode(
             "overwrite"
         ).parquet(stats_path)
+        # the recompute is deterministic over the durable tables, so the
+        # rewritten stats stay on the surviving parts' epoch (omitting
+        # the stamp here would null the epoch and silently disable
+        # stored-block-max pruning on a fully consistent index)
+        fb_epoch = _manifest_part_epoch(manifest) or int(t0 * 1e6)
         spark.read.parquet(docs_path).agg(
             F.count("*").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
             F.max("dl").cast("double").alias("max_tf_sum"),
             F.lit(index_version).alias("index_version"),
             F.lit(n_buckets).alias("n_buckets"),
+            F.lit(fb_epoch).cast("long").alias("stats_epoch"),
         ).write.mode("overwrite").parquet(corpus_path)
         _write_manifest_row(
             out_dir,
@@ -833,27 +861,31 @@ def build_index(
     # partition-pruned slice of the staging parquet and broadcast-joins the
     # term dictionary. The stats job runs concurrently with the staging
     # write's tail; wait for its parquet before resolving the read below.
-    def _stage_a_cleanup() -> None:
+    def _stage_a_cleanup(block: bool = True) -> None:
         # join the overlapped stats/docs writes, shut the pool down, and
         # release the pinned corpus cache — MUST run on every exit path
-        # once `fresh` exists, or a failure pins the cache for the session
+        # once `fresh` exists, or a failure pins the cache for the session.
+        # On KeyboardInterrupt/SystemExit (block=False) skip the blocking
+        # finalize — re-waiting minutes on in-flight futures defeats the
+        # interrupt; stage rows stay uncommitted and resume redoes stage A.
         if fresh is None:
+            return
+        if not block:
+            fresh["pool"].shutdown(wait=False)
+            fresh["cached"].unpersist()
             return
         try:
             fresh["finalize"]()
         finally:
             fresh["cached"].unpersist()
 
+    # ONE guard covers everything from the stats join through the part
+    # loop: any statement added inside it stays covered (the previous
+    # three separate guards left gaps to grow between them)
     try:
         if fresh is not None:
             fresh["stats_future"].result()
         term_stats = spark.read.parquet(stats_path)
-    except BaseException:
-        # a stats failure (or unreadable term_stats) raises BEFORE the
-        # stage-C try/finally below — clean up here or leak cache + pool
-        _stage_a_cleanup()
-        raise
-    try:
         try:
             staging_df = spark.read.parquet(staging_path)
         except AnalysisException as staging_err:
@@ -876,60 +908,56 @@ def build_index(
         skipped = actual_parts - len(todo)
 
         hash_ids = check_hash_ids(term_stats) if todo else True
-    except BaseException:
-        _stage_a_cleanup()
-        raise
 
-    def _build_part(p: int) -> None:
-        t0 = time.time()
-        tpart = t0
-        part_lo = p * part_size
-        raw_p = staging_df.filter(F.col("part_id") == p)
-        salted = prepare_salted(
-            raw_p, term_stats, part_lo, part_size, salt_budget, hash_ids
-        )
-        encoded = _attach_terms(
-            encode_salted(salted, spark, n_docs, avgdl, block_size),
-            term_stats,
-            n_buckets,
-            hash_ids,
-        )
-        part_dir = f"{postings_path}/part_id={p}"
-        # lineage metrics piggy-back on the write action (Observation) —
-        # no second pass over the encoded part
-        obs = Observation(f"part_{p}")
-        encoded = encoded.observe(
-            obs,
-            F.sum("n").alias("postings_written"),
-            # observed metrics forbid DISTINCT aggregates; HLL approximation
-            # is fine for lineage metadata
-            F.approx_count_distinct("term").alias("terms_merged"),
-            F.sum(
-                F.length("doc_ids") + F.length("tfs") + F.length("dls")
-            ).alias("bytes_compressed"),
-            F.count(F.lit(1)).alias("blocks"),
-        )
-        encoded.write.mode("overwrite").partitionBy("bucket").parquet(part_dir)
-        _plog(f"part {p} encode+write", tpart)
-        m = obs.get
-        _write_manifest_row(
-            out_dir,
-            f"part_{p:05d}",
-            {
-                "partition_id": p,
-                "status": "DONE",
-                "started_ts": t0,
-                "finished_ts": time.time(),
-                "postings_written": int(m["postings_written"] or 0),
-                "terms_merged": int(m["terms_merged"] or 0),
-                "bytes_compressed": int(m["bytes_compressed"] or 0),
-                "blocks": int(m["blocks"] or 0),
-                "index_version": index_version,
-                "stats_epoch": stats_epoch,
-            },
-        )
+        def _build_part(p: int) -> None:
+            t0 = time.time()
+            tpart = t0
+            part_lo = p * part_size
+            raw_p = staging_df.filter(F.col("part_id") == p)
+            salted = prepare_salted(
+                raw_p, term_stats, part_lo, part_size, salt_budget, hash_ids
+            )
+            encoded = _attach_terms(
+                encode_salted(salted, spark, n_docs, avgdl, block_size),
+                term_stats,
+                n_buckets,
+                hash_ids,
+            )
+            part_dir = f"{postings_path}/part_id={p}"
+            # lineage metrics piggy-back on the write action (Observation) —
+            # no second pass over the encoded part
+            obs = Observation(f"part_{p}")
+            encoded = encoded.observe(
+                obs,
+                F.sum("n").alias("postings_written"),
+                # observed metrics forbid DISTINCT aggregates; HLL approximation
+                # is fine for lineage metadata
+                F.approx_count_distinct("term").alias("terms_merged"),
+                F.sum(
+                    F.length("doc_ids") + F.length("tfs") + F.length("dls")
+                ).alias("bytes_compressed"),
+                F.count(F.lit(1)).alias("blocks"),
+            )
+            encoded.write.mode("overwrite").partitionBy("bucket").parquet(part_dir)
+            _plog(f"part {p} encode+write", tpart)
+            m = obs.get
+            _write_manifest_row(
+                out_dir,
+                f"part_{p:05d}",
+                {
+                    "partition_id": p,
+                    "status": "DONE",
+                    "started_ts": t0,
+                    "finished_ts": time.time(),
+                    "postings_written": int(m["postings_written"] or 0),
+                    "terms_merged": int(m["terms_merged"] or 0),
+                    "bytes_compressed": int(m["bytes_compressed"] or 0),
+                    "blocks": int(m["blocks"] or 0),
+                    "index_version": index_version,
+                    "stats_epoch": stats_epoch,
+                },
+            )
 
-    try:
         if fail_after_parts is not None:
             # deterministic sequential order for the kill-simulation hook
             for i, p in enumerate(todo):
@@ -949,10 +977,15 @@ def build_index(
             for p in todo:
                 _build_part(p)
             built = len(todo)
-    finally:
-        # join the overlapped staging write + commit stage rows even when a
-        # part job dies (matches pre-overlap semantics: stage A commits
-        # independently of stage C outcomes)
+    except BaseException as exc:
+        # clean up then propagate; skip the blocking finalize waits only
+        # for non-Exception interrupts (Ctrl-C must not re-block)
+        _stage_a_cleanup(block=isinstance(exc, Exception))
+        raise
+    else:
+        # join the overlapped staging write + commit stage rows (stage A
+        # commits independently of stage C outcomes — a part failure
+        # above still commits stage A via the except path)
         _stage_a_cleanup()
 
     manifest = _read_manifest(out_dir)

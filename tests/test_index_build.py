@@ -104,6 +104,11 @@ def test_kill_and_resume_identical(spark, transcripts_df, oracle_idx, tmp_path):
     got = _decoded_postings(spark, out)
     exp = {t: sorted(pl) for t, pl in oracle_idx.postings.items()}
     assert got == exp
+    # the resumed parts must share the surviving part's stats epoch —
+    # a mixed-epoch index would silently lose stored-block-max pruning
+    from search_engine_spark.operators.query import SearchEngine
+
+    assert SearchEngine(spark, out)._stored_blockmax_valid() is True
 
 
 def test_empty_corpus_build_and_search(spark, tmp_path):

@@ -269,6 +269,56 @@ def test_blockmax_threshold_actually_prunes(spark, tmp_path):
     classic = eng.search_ids("hot", k=3, use_batch_plan=False).toPandas()
     assert fast["doc_id"].tolist() == classic["doc_id"].tolist()
     assert fast["score"].tolist() == classic["score"].tolist()
+    # fresh index -> the epoch handshake validates the STORED bound
+    assert eng._stored_blockmax_valid() is True
+
+    # invalidate the stored bound (incremental merge bumps the stats
+    # epoch) and re-check the DRIFT-IMMUNE max_tf/min_dl bound: it must
+    # also prune on this corpus (boilerplate blocks have max_tf=1 and
+    # min_dl ~ the 16-word filler, far below tau from the tf=8 short
+    # docs) and stay exact
+    from search_engine_spark.operators.incremental import incremental_update
+
+    extra = pd.DataFrame(
+        {
+            "conv_id": ["zz01"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["unrelated tail words here"],
+            "tool": [None],
+            "ts": [datetime.datetime(2025, 1, 2)],
+        }
+    )
+    extra["ts"] = extra["ts"].astype("datetime64[us]")
+    incremental_update(spark, spark.createDataFrame(extra), out)
+    eng2 = SearchEngine(spark, out)
+    assert eng2._stored_blockmax_valid() is False
+    infos2, _ = eng2.lookup_terms("hot")
+    bound2 = eng2._block_bound_col(infos2[0], "bm25")
+    tb2 = eng2.postings.filter(
+        (F.col("bucket") == spark_bucket("hot", eng2.n_buckets))
+        & (F.col("term") == "hot")
+    )
+    seed2 = (
+        tb2.withColumn("_bms", bound2)
+        .orderBy(F.desc("_bms"), F.asc("first_doc_id"))
+        .limit(3)
+        .drop("_bms")
+    )
+    rows2 = (
+        eng2.candidate_scores(
+            [infos2[0]], mode="bm25", conjunctive=False, blocks_df=seed2
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(3)
+        .collect()
+    )
+    tau2 = float(rows2[-1]["s"])
+    assert tb2.filter(bound2 >= F.lit(tau2)).count() < tb2.count()
+    fast2 = eng2.search_ids("hot", k=3, use_blockmax=True).toPandas()
+    classic2 = eng2.search_ids("hot", k=3, use_batch_plan=False).toPandas()
+    assert fast2["doc_id"].tolist() == classic2["doc_id"].tolist()
+    assert fast2["score"].tolist() == classic2["score"].tolist()
 
 
 def test_blockmax_rejects_unsupported_args(engine):
