@@ -22,9 +22,11 @@ them — strictly better than the reference's wipe-on-restart
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,7 +37,13 @@ from .operators.query import SearchEngine
 ERR_ALREADY_RUNNING = "Индексация уже запущена"          # IndexationService.java:7
 ERR_NOT_RUNNING = "Индексация не запущена"               # IndexationService.java:8
 ERR_EMPTY_QUERY = "Задан пустой поисковый запрос"        # SearchService.java:6-7
+# The reference returns this as an ERROR for zero-hit searches
+# (SearchService.java:8-9). Deliberate deviation: zero hits here is the
+# SUCCESS envelope {"result": True, "count": 0} (pinned by
+# tests/test_api_compaction.py::test_search_no_results) — an empty result
+# is not a failure; the constant stays as the documented reference string.
 ERR_NOT_FOUND = "Ничего не найдено"                      # SearchService.java:8-9
+ERR_NO_INDEX = "Индекс ещё не построен"                  # no-index-yet envelope
 
 
 @dataclass
@@ -46,6 +54,8 @@ class EngineAPI:
     index_dir: str
     _build_thread: threading.Thread | None = field(default=None, repr=False)
     _build_error: list[str] = field(default_factory=list, repr=False)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    _engine: SearchEngine | None = field(default=None, repr=False)
 
     # -- GET /api/startIndexing -------------------------------------------
     def start_indexing(
@@ -54,9 +64,6 @@ class EngineAPI:
         """Kick off a full index build in a background thread (the
         reference runs one thread per site, IndexationServiceImpl.java:97-105).
         resume=True keeps DONE parts from a previously stopped build."""
-        if self.is_indexing():
-            return {"result": False, "error": ERR_ALREADY_RUNNING}
-        self._build_error.clear()
 
         def run() -> None:
             try:
@@ -66,9 +73,20 @@ class EngineAPI:
                 )
             except Exception as ex:  # noqa: BLE001 — recorded like setFailed
                 self._build_error.append(str(ex))
+            finally:
+                # the index content changed (or failed mid-way): the
+                # memoized engine snapshot is stale either way
+                self._engine = None
 
-        self._build_thread = threading.Thread(target=run, daemon=True)
-        self._build_thread.start()
+        # check-then-spawn under the lock: two concurrent calls must not
+        # both pass is_indexing() and race two builds onto one index dir
+        # (the reference guards the same with an AtomicBoolean)
+        with self._lock:
+            if self.is_indexing():
+                return {"result": False, "error": ERR_ALREADY_RUNNING}
+            self._build_error.clear()
+            self._build_thread = threading.Thread(target=run, daemon=True)
+            self._build_thread.start()
         return {"result": True}
 
     def is_indexing(self) -> bool:
@@ -82,11 +100,27 @@ class EngineAPI:
     def stop_indexing(self) -> dict[str, Any]:
         """Cooperative cancel: interrupt running Spark jobs; completed parts
         stay DONE in the manifest (the resume contract). The reference
-        instead marks sites FAILED and wipes on restart."""
-        if not self.is_indexing():
-            return {"result": False, "error": ERR_NOT_RUNNING}
-        self.spark.sparkContext.cancelAllJobs()
-        self._build_thread.join(timeout=60)
+        instead marks sites FAILED and wipes on restart.
+
+        Caveat: cancellation is session-wide (cancelAllJobs) — the build
+        launches jobs from several helper threads, so a job-group id set
+        here would not reach them; on a session shared with other
+        workloads their in-flight jobs are cancelled too. The cancel is
+        REPEATED while the build thread lives (a one-shot cancel landing
+        in a driver-side gap between jobs cancels nothing), and the
+        result reports honestly whether the build actually stopped."""
+        with self._lock:
+            if not self.is_indexing():
+                return {"result": False, "error": ERR_NOT_RUNNING}
+            deadline = time.time() + 60
+            while self._build_thread.is_alive() and time.time() < deadline:
+                self.spark.sparkContext.cancelAllJobs()
+                self._build_thread.join(timeout=2)
+            if self._build_thread.is_alive():
+                return {
+                    "result": False,
+                    "error": "build still running 60s after cancel",
+                }
         return {"result": True}
 
     # -- POST /api/indexPage ----------------------------------------------
@@ -97,7 +131,18 @@ class EngineAPI:
             res = incremental_update(self.spark, new_transcripts, self.index_dir)
         except ValueError as ex:
             return {"result": False, "error": str(ex)}
+        self._engine = None  # snapshot engines memoize df/ranges — refresh
         return {"result": True, **res}
+
+    def _get_engine(self) -> SearchEngine:
+        """One memoized engine per index snapshot: SearchEngine.__init__
+        costs a corpus_stats collect + parquet resolutions, and its
+        per-term dictionary/range caches only pay off across calls on
+        the same instance. Invalidated by index_batch and build
+        completion. Raises AnalysisException while no index exists."""
+        if self._engine is None:
+            self._engine = SearchEngine(self.spark, self.index_dir)
+        return self._engine
 
     # -- GET /api/search ---------------------------------------------------
     def search(
@@ -117,7 +162,13 @@ class EngineAPI:
         (ApiController.java:43-47, SearchServiceImpl.java:105-114)."""
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
-        eng = SearchEngine(self.spark, self.index_dir)
+        try:
+            eng = self._get_engine()
+        except AnalysisException:
+            # first build still running (or never run): keep the
+            # envelope contract instead of leaking a raw read error
+            return {"result": False, "error": ERR_NO_INDEX,
+                    "is_indexing": self.is_indexing()}
         rows = eng.search(
             query, k=limit, offset=offset, mode=mode, max_df=max_df,
             scope=site,
@@ -143,7 +194,12 @@ class EngineAPI:
     def statistics(self) -> dict[str, Any]:
         """Totals + per-partition build state (StatisticsServiceImpl.java:33-51:
         total pages/lemmas + per-site status)."""
-        eng = SearchEngine(self.spark, self.index_dir)
+        try:
+            eng = self._get_engine()
+        except AnalysisException:
+            return {"result": False, "error": ERR_NO_INDEX,
+                    "is_indexing": self.is_indexing(),
+                    "last_error": self._build_error[-1] if self._build_error else None}
         total_terms = eng.term_stats.count()
         parts = [
             {
@@ -169,6 +225,12 @@ class EngineAPI:
                     "terms": total_terms,
                     "avgdl": eng.avgdl,
                     "is_indexing": self.is_indexing(),
+                    # the reference surfaces setFailed(last_error) in its
+                    # statistics; a swallowed background-build failure
+                    # must be visible somewhere
+                    "last_error": (
+                        self._build_error[-1] if self._build_error else None
+                    ),
                 },
                 "per_role": per_role,
                 "parts": parts,

@@ -142,3 +142,31 @@ def test_index_batch_without_index_errors(spark, tmp_path):
     pdf = make_transcripts(n_conversations=3, seed=1)
     out = a.index_batch(_sdf(spark, pdf))
     assert out["result"] is False and "no complete index" in out["error"]
+
+
+def test_api_envelope_before_first_build(spark, tmp_path):
+    """search()/statistics() on a facade whose index has never been built
+    must return the {"result": False, "error"} envelope (with indexing
+    state), never leak a raw AnalysisException — the reference serves
+    /api/statistics during indexing too."""
+    from search_engine_spark.api import ERR_NO_INDEX
+
+    a = EngineAPI(spark, str(tmp_path / "noidx"))
+    out = a.search("hello world")
+    assert out["result"] is False and out["error"] == ERR_NO_INDEX
+    st = a.statistics()
+    assert st["result"] is False and st["error"] == ERR_NO_INDEX
+    assert st["is_indexing"] is False
+
+
+def test_api_surfaces_background_build_failure(spark, tmp_path):
+    """A background build failure must be visible through statistics()
+    (the reference records setFailed(last_error)); silently swallowing it
+    leaves a failed build indistinguishable from no build."""
+    a = EngineAPI(spark, str(tmp_path / "failidx"))
+    bad = spark.createDataFrame([("x",)], schema="not_a_transcript string")
+    assert a.start_indexing(bad, n_parts=1, resume=False) == {"result": True}
+    a.wait(120)
+    st = a.statistics()
+    assert st["result"] is False
+    assert st["last_error"]
