@@ -18,39 +18,13 @@ import numpy as np
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as VByte. Vectorized: compute per-value byte
-    widths, scatter 7-bit groups into a flat output buffer."""
+    """Encode a uint64 array as VByte — the single-slice case of
+    varbyte_encode_sliced (one shared width/scatter implementation, so a
+    codec fix never has to land twice)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # byte width per value = number of 7-bit groups (>=1)
-    widths = np.ones(v.size, dtype=np.int64)
-    thresh = np.uint64(1 << 7)
-    w = v.copy()
-    while True:
-        mask = w >= thresh
-        if not mask.any():
-            break
-        widths[mask] += 1
-        w = w >> np.uint64(7)
-    total = int(widths.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    # positions: end offset of each value's byte run
-    ends = np.cumsum(widths)
-    starts = ends - widths
-    # for each 7-bit group g (little-endian groups, most-significant last):
-    # byte j of value i (j in [0, widths[i])) = (v[i] >> (7*j)) & 0x7F,
-    # continuation bit set on all but the last byte.
-    max_w = int(widths.max())
-    for j in range(max_w):
-        sel = widths > j
-        idx = starts[sel] + j
-        chunk = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        is_last = widths[sel] == (j + 1)
-        out[idx] = chunk.astype(np.uint8) | np.where(is_last, 0, 0x80).astype(
-            np.uint8
-        )
-    return out.tobytes()
+    return varbyte_encode_sliced(v, np.array([0], dtype=np.int64))[0]
 
 
 def varbyte_encode_sliced(
@@ -68,7 +42,6 @@ def varbyte_encode_sliced(
     if v.size == 0:
         return []
     widths = np.ones(v.size, dtype=np.int64)
-    thresh = np.uint64(1 << 7)
     w = v >> np.uint64(7)
     while True:
         mask = w > 0
@@ -76,7 +49,6 @@ def varbyte_encode_sliced(
             break
         widths[mask] += 1
         w = w >> np.uint64(7)
-    del thresh
     ends = np.cumsum(widths)
     starts_b = ends - widths
     total = int(ends[-1])

@@ -108,9 +108,17 @@ def image_features(
     never cross into Python."""
     import hashlib
 
+    # NULL-metadata policy: a NULL width must not silently drop the row
+    # through a "no-op" default predicate (NULL >= 1 filters in SQL), so
+    # the width gate applies only when the caller actually asked for one;
+    # rows with no payload carry nothing to decode and are excluded by
+    # every transform here.
     filtered = media.filter(
-        (F.col("kind") == "image") & (F.col("width") >= min_width)
-    ).select("media_id", "payload", "codec")
+        (F.col("kind") == "image") & F.col("payload").isNotNull()
+    )
+    if min_width > 1:
+        filtered = filtered.filter(F.col("width") >= min_width)
+    filtered = filtered.select("media_id", "payload", "codec")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,6 +132,8 @@ def image_features(
                 flat = arr.reshape(-1, 3).astype(np.int64)
                 sums = flat.sum(axis=0)
                 npx = flat.shape[0]
+                if npx == 0:  # degenerate decode (0-pixel payload)
+                    continue
                 rows.append(
                     (
                         int(mid),
@@ -149,9 +159,9 @@ def resize_images(
 ) -> DataFrame:
     """Nearest-neighbor resize to (target, target); re-encoded with the
     fake codec (payload stays opaque bytes downstream)."""
-    imgs = media.filter(F.col("kind") == "image").select(
-        "media_id", "payload", "codec"
-    )
+    imgs = media.filter(
+        (F.col("kind") == "image") & F.col("payload").isNotNull()
+    ).select("media_id", "payload", "codec")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -190,9 +200,11 @@ def sample_frames(
     mapInPandas 1:N shape). Frame extraction is stubbed as byte-slicing the
     opaque payload at n_frames boundaries — a real pyav demuxer drops in
     without changing the plan."""
-    vids = media.filter(F.col("kind") == "video").select(
-        "media_id", "payload", "n_frames"
-    )
+    vids = media.filter(
+        (F.col("kind") == "video")
+        & F.col("payload").isNotNull()
+        & F.col("n_frames").isNotNull()
+    ).select("media_id", "payload", "n_frames")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,9 +230,12 @@ def audio_stats(media: DataFrame) -> DataFrame:
     """Audio 'feature extraction' over the opaque payload interpreted as
     int16 PCM (the deterministic fake for codec-less environments): RMS
     energy + duration check vs metadata."""
-    auds = media.filter(F.col("kind") == "audio").select(
-        "media_id", "payload", "sample_rate", "duration_ms"
-    )
+    auds = media.filter(
+        (F.col("kind") == "audio")
+        & F.col("payload").isNotNull()
+        & F.col("sample_rate").isNotNull()
+        & F.col("duration_ms").isNotNull()
+    ).select("media_id", "payload", "sample_rate", "duration_ms")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -126,11 +126,12 @@ def oracle_search(
     seen_count: dict[int, int] = {}
     for t in present:
         df_t = int(stats.loc[t, "df"])
+        idf_t = bm25_idf(idx.n_docs, df_t)  # per-term, not per-posting
         for doc_id, tf in idx.postings[t]:
             if mode == "bm25":
                 dl = idx.doc_dl[doc_id]
                 denom = tf + K1 * (1 - B + B * dl / idx.avgdl)
-                s = bm25_idf(idx.n_docs, df_t) * (tf * (K1 + 1)) / denom
+                s = idf_t * (tf * (K1 + 1)) / denom
             else:  # relevance_ref: SUM(tf)/max_tf_sum (IndexRepository.java:14-20)
                 s = tf / idx.max_tf_sum
             scores[doc_id] = scores.get(doc_id, 0.0) + s

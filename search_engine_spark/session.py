@@ -35,7 +35,11 @@ def resolve_master(
     if shuffle_partitions is None and master is not None:
         # local: one shuffle partition per core; cluster: override via --conf
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if n in ("*", "") else int(n)
+        # legal bracketed masters can carry extras: local[N,maxFailures],
+        # local-cluster[n,cores,mem] — take the leading component and
+        # fall back to the cpu default when it is not a plain integer
+        n = n.split(",")[0].strip()
+        shuffle_partitions = int(n) if n.isdigit() else cpus
     return master, shuffle_partitions
 
 
@@ -111,18 +115,28 @@ def ship_package(spark: SparkSession) -> None:
     of ``spark-submit --py-files engine.zip``). Without this, pandas-UDF
     deserialization fails with ModuleNotFoundError whenever the driver
     script runs outside the repo root."""
+    import os
+
     pkg_dir = Path(__file__).resolve().parent
-    zip_path = Path(tempfile.gettempdir()) / "search_engine_spark_pyfiles.zip"
+    # per-uid name (sticky /tmp: another user's zip is not replaceable)
+    zip_path = Path(tempfile.gettempdir()) / (
+        f"search_engine_spark_pyfiles_{os.getuid()}.zip"
+    )
     sources = sorted(pkg_dir.rglob("*.py"))
     stale = zip_path.exists() and any(
         p.stat().st_mtime > zip_path.stat().st_mtime for p in sources
     )
-    if stale:
-        zip_path.unlink()
-    if not zip_path.exists():
-        tmp = zip_path.with_suffix(".tmp")
+    if stale or not zip_path.exists():
+        # unique tmp per process + atomic replace: two concurrent
+        # processes (tests + bench) must never write the SAME tmp file —
+        # one would truncate mid-write and the other rename a torn zip
+        fd, tmp_name = tempfile.mkstemp(
+            dir=zip_path.parent, suffix=".pyfiles.tmp"
+        )
+        os.close(fd)
+        tmp = Path(tmp_name)
         with zipfile.ZipFile(tmp, "w") as zf:
             for py in sorted(pkg_dir.rglob("*.py")):
                 zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
-        tmp.rename(zip_path)
+        tmp.replace(zip_path)
     spark.sparkContext.addPyFile(str(zip_path))

@@ -65,3 +65,33 @@ def test_audio_stats_consistency(spark, media_df):
     assert len(stats) == (pdf["kind"] == "audio").sum()
     assert all(r["meta_consistent"] for r in stats)
     assert all(r["rms"] > 0 for r in stats)
+
+
+def test_null_metadata_rows_handled(spark):
+    """MEDIA declares its metadata/payload columns nullable: a NULL width
+    must not vanish an image through the default (no-op) width filter,
+    and NULL payload / n_frames / sample_rate rows must be excluded
+    instead of crashing the executor with TypeError."""
+    import pandas as pd
+
+    base = MM.make_media(n=30, seed=7)
+    img = base[base["kind"] == "image"].iloc[0]
+    vid = base[base["kind"] == "video"].iloc[0]
+    aud = base[base["kind"] == "audio"].iloc[0]
+    rows = pd.DataFrame(
+        [
+            # image with NULL width but a valid payload: processed
+            {**img.to_dict(), "media_id": 1001, "width": None},
+            # image with NULL payload: excluded, not crashed
+            {**img.to_dict(), "media_id": 1002, "payload": None},
+            # video with NULL n_frames: excluded
+            {**vid.to_dict(), "media_id": 1003, "n_frames": None},
+            # audio with NULL sample_rate: excluded
+            {**aud.to_dict(), "media_id": 1004, "sample_rate": None},
+        ]
+    )
+    df = spark.createDataFrame(rows, schema=MM.MEDIA)
+    feats = MM.image_features(df, decoder=MM.fake_rgb_decoder).collect()
+    assert [r["media_id"] for r in feats] == [1001]
+    assert MM.sample_frames(df, every_n=5).count() == 0
+    assert MM.audio_stats(df).count() == 0
