@@ -1466,6 +1466,67 @@ LIMIT {TOPK}
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of the multi-probe sign-LSH ANN against the exact
+    brute-force top-k — THE quality metric an approximate index ships
+    with (a 100 TB ANN deployment is tuned by trading probe count
+    against exactly this number; here it is a first-class oracled
+    pipeline op, not an offline notebook). One semi-join between the
+    two k-row result sets; both sides reuse the entries they audit
+    (q_cosine_topk / q_ann_bucketed) unchanged."""
+    exact = q_cosine_topk(spark, sf_dir).select("vec_id")
+    ann = q_ann_bucketed(spark, sf_dir).select("vec_id")
+    hit = exact.join(ann, "vec_id", "semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return hit.select(
+        F.lit(TOPK).cast("int").alias("k"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        (F.col("n_hit").cast("double") / F.lit(float(TOPK))).alias("recall"),
+    )
+
+
+def _sql_ann_recall() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(ANN_SIGN_DIMS)
+    )
+    probe_mask = ", ".join(str(1 << i) for i in range(ANN_SIGN_DIMS))
+    return f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv, ({bucket}) AS qb
+    FROM embeddings WHERE vec_id = 0
+),
+exact AS (
+    SELECT vec_id,
+           list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS sim
+    FROM embeddings CROSS JOIN q
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT {TOPK}
+),
+ann AS (
+    SELECT vec_id,
+           list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS sim
+    FROM embeddings CROSS JOIN q
+    WHERE ({bucket}) = qb
+       OR xor(({bucket})::BIGINT, qb::BIGINT) IN ({probe_mask})
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT {TOPK}
+),
+hit AS (
+    SELECT COUNT(*) AS n_hit FROM exact
+    WHERE vec_id IN (SELECT vec_id FROM ann)
+)
+SELECT {TOPK} AS k, CAST(n_hit AS BIGINT) AS n_hit,
+       n_hit / {TOPK}.0::DOUBLE AS recall
+FROM hit
+"""
+
+
 # 99.9th pct of pairwise cosine in the driver's synthetic embeddings —
 # random-ish vectors never reach classic near-dup levels (max ~0.51), so
 # the threshold is calibrated to yield a real (non-empty) pair set
@@ -3055,6 +3116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "cosine_topk": q_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
+    "ann_recall": q_ann_recall,
     "embed_dup_pairs": q_embed_dup_pairs,
     "ann_ivf": q_ann_ivf,
     "embed_quantize": q_embed_quantize,
@@ -3156,6 +3218,7 @@ ORACLES: dict[str, str] = {
     "rolling_fingerprint": _sql_rolling_fingerprint(),
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_bucketed": _sql_ann_bucketed(),
+    "ann_recall": _sql_ann_recall(),
     "embed_dup_pairs": _sql_embed_dup_pairs(),
     "ann_ivf": SQL_ANN_IVF,
     "embed_quantize": SQL_EMBED_QUANTIZE,
