@@ -132,3 +132,55 @@ def test_source_cap_sample_caps_and_is_deterministic(spark, tmp_path):
     # deterministic: a second run picks the identical survivor set
     again = EQ.q_source_cap_sample(spark, sf_dir).toPandas()
     assert _rows(got) == _rows(again)
+
+
+def _write_embeddings(tmp_path, vecs):
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    return str(tmp_path)
+
+
+def _oracle_emb(tmp_path, name):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    return con.execute(EQ.ORACLES[name]).df()
+
+
+def test_ann_recall_measures_probe_misses(spark, tmp_path):
+    """ann_recall must actually measure recall LOSS: vectors whose sign
+    bucket differs from the query's in >= 2 bits are outside the 9-probe
+    set, so high-cosine vectors placed there are found by the exact
+    top-k but missed by the ANN. The driver-gate corpus (sf0.01) happens
+    to give recall 1.0, so this corpus is the one that exercises the
+    metric's discriminating case — and Spark == DuckDB must still hold
+    bit-exactly on it."""
+    q = [1.0] * 8
+    # two high-sim vectors with TWO sign flips (tiny magnitudes): cosine
+    # ~0.86 but Hamming-2 from the query bucket -> unreachable by probes
+    missed = [[1, 1, 1, 1, 1, 1, -0.01, -0.01],
+              [1, 1, 1, 1, -0.01, -0.01, 1, 1]]
+    # nine all-positive (same-bucket) vectors with decreasing similarity:
+    # mostly mass on one axis, a shrinking uniform component elsewhere
+    in_bucket = [
+        [0.5 - 0.05 * i] * 7 + [10.0] for i in range(9)
+    ]
+    sf_dir = _write_embeddings(tmp_path, [q] + missed + in_bucket)
+
+    got = EQ.q_ann_recall(spark, sf_dir).toPandas()
+    want = _oracle_emb(sf_dir, "ann_recall")
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got) == _rows(want)
+
+    # exact top-10 of 12 vectors: query (sim 1.0) + both missed (~0.86)
+    # + the 7 most-similar in-bucket vectors; the ANN candidate set is
+    # the 10 all-positive vectors -> overlap = 8 of 10
+    row = got.iloc[0]
+    assert int(row["k"]) == EQ.TOPK
+    assert int(row["n_hit"]) == 8
+    assert row["recall"] == pytest.approx(0.8, abs=0)
