@@ -1700,6 +1700,81 @@ LIMIT {TOPK}
 """
 
 
+def q_ivf_recall(spark, sf_dir):
+    """Recall@k audit for the IVF path (companion to q_ann_recall, which
+    audits the sign-LSH multi-probe path): the number an IVF deployment
+    tunes nprobe against. Same shape — one semi-join between two k-row
+    TakeOrderedAndProject results, so the audit itself is corpus-size
+    independent."""
+    exact = q_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf(spark, sf_dir).select("vec_id")
+    hit = exact.join(ivf, "vec_id", "semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return hit.select(
+        F.lit(TOPK).cast("int").alias("k"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        (F.col("n_hit").cast("double") / F.lit(float(TOPK))).alias("recall"),
+    )
+
+
+SQL_IVF_RECALL = f"""
+WITH cents AS (
+    SELECT vec_id AS k, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id < {IVF_K}
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+    SELECT k FROM cents CROSS JOIN q
+    ORDER BY list_dot_product(qv, qv) - 2*list_dot_product(qv, cv)
+             + list_dot_product(cv, cv), k
+    LIMIT {IVF_NPROBE}
+),
+asg AS (
+    SELECT e.vec_id, c.k,
+           list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           - 2*list_dot_product(e.embedding::DOUBLE[], c.cv)
+           + list_dot_product(c.cv, c.cv) AS d
+    FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+    SELECT vec_id, CAST(k AS INTEGER) AS cell FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+        FROM asg
+    ) WHERE rn = 1
+),
+ivf AS (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS sim
+    FROM embeddings e
+    JOIN cells ON e.vec_id = cells.vec_id
+    CROSS JOIN q
+    WHERE cells.cell IN (SELECT k FROM probes)
+    ORDER BY sim DESC, e.vec_id ASC
+    LIMIT {TOPK}
+),
+exact AS (
+    SELECT vec_id,
+           list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS sim
+    FROM embeddings CROSS JOIN q
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT {TOPK}
+),
+hit AS (
+    SELECT COUNT(*) AS n_hit FROM exact
+    WHERE vec_id IN (SELECT vec_id FROM ivf)
+)
+SELECT {TOPK} AS k, CAST(n_hit AS BIGINT) AS n_hit,
+       n_hit / {TOPK}.0::DOUBLE AS recall
+FROM hit
+"""
+
+
 def q_embed_quantize(spark, sf_dir):
     """Symmetric int8 linear quantization per vector — the storage format
     a 100 TB embedding corpus actually ships (4x smaller than fp32, dot
@@ -3117,6 +3192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
     "ann_recall": q_ann_recall,
+    "ivf_recall": q_ivf_recall,
     "embed_dup_pairs": q_embed_dup_pairs,
     "ann_ivf": q_ann_ivf,
     "embed_quantize": q_embed_quantize,
@@ -3219,6 +3295,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_bucketed": _sql_ann_bucketed(),
     "ann_recall": _sql_ann_recall(),
+    "ivf_recall": SQL_IVF_RECALL,
     "embed_dup_pairs": _sql_embed_dup_pairs(),
     "ann_ivf": SQL_ANN_IVF,
     "embed_quantize": SQL_EMBED_QUANTIZE,
