@@ -56,6 +56,28 @@ class EngineAPI:
     _build_error: list[str] = field(default_factory=list, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
     _engine: SearchEngine | None = field(default=None, repr=False)
+    # memoization guard, SEPARATE from _lock: the build thread's
+    # finally-invalidate must never contend with stop_indexing, which
+    # holds _lock while joining that very thread (sharing one lock would
+    # stall the join until its 60 s deadline)
+    _engine_lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False
+    )
+    # bumped on every index mutation; _get_engine refuses to memoize an
+    # engine constructed before a concurrent mutation landed
+    _index_gen: int = field(default=0, repr=False)
+
+    def invalidate(self) -> None:
+        """Drop the memoized engine snapshot. Every index mutation routed
+        through this facade (start_indexing completion, index_batch,
+        compact) calls it automatically; call it yourself after mutating
+        the index OUT of band (e.g. a compact_index() run against the
+        same directory from another process), or cached lazy plans keep
+        pointing at parquet files the mutation deleted and raise raw
+        FileNotFoundException instead of fresh results."""
+        with self._engine_lock:
+            self._index_gen += 1
+            self._engine = None
 
     # -- GET /api/startIndexing -------------------------------------------
     def start_indexing(
@@ -76,7 +98,7 @@ class EngineAPI:
             finally:
                 # the index content changed (or failed mid-way): the
                 # memoized engine snapshot is stale either way
-                self._engine = None
+                self.invalidate()
 
         # check-then-spawn under the lock: two concurrent calls must not
         # both pass is_indexing() and race two builds onto one index dir
@@ -131,18 +153,53 @@ class EngineAPI:
             res = incremental_update(self.spark, new_transcripts, self.index_dir)
         except ValueError as ex:
             return {"result": False, "error": str(ex)}
-        self._engine = None  # snapshot engines memoize df/ranges — refresh
+        self.invalidate()  # snapshot engines memoize df/ranges — refresh
+        return {"result": True, **res}
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, **kwargs) -> dict[str, Any]:
+        """Fold accumulated incremental parts back into the target layout
+        (operators/compaction.compact_index) AND drop the memoized engine:
+        compaction rmtree-swaps the postings directories, so a cached
+        engine's lazy plans would otherwise point at deleted parquet files
+        and the next search would raise a raw FileNotFoundException
+        instead of the envelope. This wrapper is the supported way to
+        compact an index this facade is serving."""
+        from .operators.compaction import compact_index
+
+        with self._lock:
+            if self.is_indexing():
+                return {"result": False, "error": ERR_ALREADY_RUNNING}
+        try:
+            res = compact_index(self.spark, self.index_dir, **kwargs)
+        finally:
+            # even a failed compaction may have swapped directories —
+            # never serve plans pinned to the pre-compaction layout
+            self.invalidate()
         return {"result": True, **res}
 
     def _get_engine(self) -> SearchEngine:
         """One memoized engine per index snapshot: SearchEngine.__init__
         costs a corpus_stats collect + parquet resolutions, and its
         per-term dictionary/range caches only pay off across calls on
-        the same instance. Invalidated by index_batch and build
-        completion. Raises AnalysisException while no index exists."""
-        if self._engine is None:
-            self._engine = SearchEngine(self.spark, self.index_dir)
-        return self._engine
+        the same instance. Invalidated by index_batch, compact, and build
+        completion. Raises AnalysisException while no index exists.
+
+        Construction happens OUTSIDE the lock (it runs Spark jobs), so
+        the memoization is generation-checked: if any mutation landed
+        while this thread was constructing — e.g. a background build's
+        finally-invalidate — the partial-snapshot engine is returned for
+        THIS call only, never memoized (a stale cached engine would
+        otherwise serve a mid-build index until the next mutation)."""
+        with self._engine_lock:
+            if self._engine is not None:
+                return self._engine
+            gen = self._index_gen
+        eng = SearchEngine(self.spark, self.index_dir)
+        with self._engine_lock:
+            if self._engine is None and self._index_gen == gen:
+                self._engine = eng
+        return eng
 
     # -- GET /api/search ---------------------------------------------------
     def search(

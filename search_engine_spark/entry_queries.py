@@ -3145,18 +3145,43 @@ FROM s
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+# Ordering policy (the driver's correctness gate checks the FIRST 50
+# entries only — VERDICT.md r3 "What's wrong #1"): entries that have never
+# received a driver row come first, then entries last gated in an older
+# round, then this round's new/changed code paths, then the r3-green engine
+# core. Entries pushed past the window are exclusively ones that went green
+# in BOTH r2 and r3 with no code change since (basic stats, TPC-H suite,
+# dedup/fingerprint basics) — see COVERAGE.md for the per-entry gate
+# history.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-gated before r4 (streaming, training-data funnel,
+    #    layout ops) --
+    "streaming_tumbling": q_streaming_tumbling,
+    "streaming_sessionize": q_streaming_sessionize,
+    "pipeline_training_shard": q_pipeline_training_shard,
+    "seq_pack": q_seq_pack,
+    "repetition_stats": q_repetition_stats,
+    "source_cap_sample": q_source_cap_sample,
+    "hash_split": q_hash_split,
+    "doc_chunks": q_doc_chunks,
+    # -- last gated in r2 (fell past the r3 window unchanged) --
+    "search_snippets": q_search_snippets,
+    "build_manifest": q_build_manifest,
+    "dedup_components": q_dedup_components,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "events_json": q_events_json,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+    "media_audio_stats": q_media_audio_stats,
+    # -- r3-green engine core + entries whose code paths changed in r4 --
     "clean_docs": q_clean_docs,
     "tokenize_tf": q_tokenize_tf,
     "term_stats": q_term_stats,
-    "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
-    "top_terms": q_top_terms,
-    "source_stats": q_source_stats,
-    "any_match": q_any_match,
-    "conjunctive_match": q_conjunctive_match,
-    "bm25_topk": q_bm25_topk,
-    "relevance_ref_topk": q_relevance_ref_topk,
     "engine_bm25_topk": q_engine_bm25_topk,
     "engine_rare_topk": q_engine_rare_topk,
     "engine_relevance_ref": q_engine_relevance_ref,
@@ -3173,6 +3198,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_prefix_topk": q_engine_prefix_topk,
     "phrase_match": q_phrase_match,
     "proximity_match": q_proximity_match,
+    "ngram_dup_pairs": q_ngram_dup_pairs,
+    "minhash_sigs": q_minhash_sigs,
+    "lsh_pairs": q_lsh_pairs,
+    "ann_bucketed": q_ann_bucketed,
+    "ann_recall": q_ann_recall,
+    "ivf_recall": q_ivf_recall,
+    "embed_quantize": q_embed_quantize,
+    "ann_ivf": q_ann_ivf,
+    # ---- driver window boundary (entries below are green in BOTH r2 and
+    #      r3, unchanged since; rotated out per the ordering policy) ----
+    "doc_stats": q_doc_stats,
+    "top_terms": q_top_terms,
+    "source_stats": q_source_stats,
+    "any_match": q_any_match,
+    "conjunctive_match": q_conjunctive_match,
+    "bm25_topk": q_bm25_topk,
+    "relevance_ref_topk": q_relevance_ref_topk,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_order_revenue": q_tpch_order_revenue,
     "tpch_cust_nation_region": q_tpch_cust_nation_region,
@@ -3182,40 +3224,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_brand_volume": q_tpch_brand_volume,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
-    "ngram_dup_pairs": q_ngram_dup_pairs,
-    "minhash_sigs": q_minhash_sigs,
-    "lsh_pairs": q_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "simhash": q_simhash,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "cosine_topk": q_cosine_topk,
-    "ann_bucketed": q_ann_bucketed,
-    "ann_recall": q_ann_recall,
-    "ivf_recall": q_ivf_recall,
     "embed_dup_pairs": q_embed_dup_pairs,
-    "ann_ivf": q_ann_ivf,
-    "embed_quantize": q_embed_quantize,
-    "dedup_components": q_dedup_components,
-    "lang_id": q_lang_id,
-    "quality_score": q_quality_score,
-    "token_counts": q_token_counts,
-    "repetition_stats": q_repetition_stats,
-    "source_cap_sample": q_source_cap_sample,
-    "pipeline_training_shard": q_pipeline_training_shard,
-    "hash_split": q_hash_split,
-    "seq_pack": q_seq_pack,
-    "doc_chunks": q_doc_chunks,
-    "events_tumbling": q_events_tumbling,
-    "events_sessionize": q_events_sessionize,
-    "events_json": q_events_json,
-    "streaming_tumbling": q_streaming_tumbling,
-    "streaming_sessionize": q_streaming_sessionize,
-    "search_snippets": q_search_snippets,
-    "build_manifest": q_build_manifest,
-    "media_features": q_media_features,
-    "media_frames": q_media_frames,
-    "media_audio_stats": q_media_audio_stats,
 }
 
 

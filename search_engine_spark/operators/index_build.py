@@ -634,11 +634,34 @@ def build_index(
         # (the documented resume contract), so the rewritten stats are
         # bit-identical to what those parts were encoded under — minting
         # a fresh epoch here would leave them mixed-epoch and silently
-        # disable stored-block-max pruning until a compaction.
-        stats_epoch = _manifest_part_epoch(manifest) or int(t0 * 1e6)
+        # disable stored-block-max pruning until a compaction. The
+        # contract is not TRUSTED though: a resume fed different input
+        # would otherwise re-validate stale stored block_max_score bounds
+        # and _single_term_topk could silently drop true top-k hits — so
+        # reuse is gated on a determinism witness (n_docs now; avgdl /
+        # max_tf_sum once the staging Observation lands, below) against
+        # the persisted corpus_stats, and any mismatch mints a fresh
+        # epoch (stored-bound pruning then stays off until a compaction
+        # re-encodes — sound, merely slower).
+        reuse_epoch = _manifest_part_epoch(manifest)
         clean = clean_transcripts(transcripts)
         with_ids, cached, n_docs = assign_doc_ids(clean, spark)
         _plog("shuffle+count (materialize cache)", t0)
+        prev_corpus: dict | None = None
+        if reuse_epoch is not None:
+            try:
+                if Path(corpus_path).exists():
+                    prev_corpus = (
+                        spark.read.parquet(corpus_path).collect()[0].asDict()
+                    )
+            except Exception:  # noqa: BLE001 — torn previous write
+                prev_corpus = None
+            if (
+                prev_corpus is None
+                or int(prev_corpus.get("n_docs") or -1) != int(n_docs)
+            ):
+                reuse_epoch = None
+        stats_epoch = reuse_epoch or int(t0 * 1e6)
         part_size = max(1, math.ceil(n_docs / n_parts))
 
         corpus_ob = Observation(f"corpus_{int(t0)}")
@@ -732,6 +755,49 @@ def build_index(
             )
             _plog("staging write (tf agg + explode)", tw)
             fm = fill_ob.get
+            # epoch-witness tier 2: n_docs matched pre-launch, but the
+            # redone stage A's token mass must too (sum(tf) over postings
+            # == sum(dl) over docs exactly; max_dl == max_tf_sum). A
+            # mismatch proves the resume input differs from what the
+            # surviving DONE parts were encoded under: mint a fresh
+            # epoch and rewrite the just-written corpus row (the docs
+            # thread captured the reused epoch), so the stored
+            # block_max_score bounds stay provably invalid.
+            if reuse_epoch is not None and prev_corpus is not None:
+                new_avgdl = (
+                    float(fm["tok_sum"]) / float(n_docs)
+                    if fm["tok_sum"]
+                    else None
+                )
+                old_avgdl = prev_corpus.get("avgdl")
+                if (
+                    (old_avgdl is None) != (new_avgdl is None)
+                    or (
+                        new_avgdl is not None
+                        and float(old_avgdl) != new_avgdl
+                    )
+                    or float(prev_corpus.get("max_tf_sum") or 0.0)
+                    != float(fm["max_dl"] or 0.0)
+                ):
+                    stats_epoch = int(time.time() * 1e6)
+                    f_docs.result()  # corpus row written with stale epoch
+                    row = (
+                        spark.read.parquet(corpus_path)
+                        .collect()[0]
+                        .asDict()
+                    )
+                    row["stats_epoch"] = stats_epoch
+                    spark.createDataFrame(
+                        pd.DataFrame(
+                            [
+                                {
+                                    f.name: row.get(f.name)
+                                    for f in schemas.CORPUS_STATS.fields
+                                }
+                            ]
+                        ),
+                        schema=schemas.CORPUS_STATS,
+                    ).write.mode("overwrite").parquet(corpus_path)
             f_stats = ex.submit(_write_stats, int(fm["n_postings"] or 0))
         except BaseException:
             # a failed staging/docs job must not leak the pinned cache or
@@ -978,9 +1044,24 @@ def build_index(
                 _build_part(p)
             built = len(todo)
     except BaseException as exc:
-        # clean up then propagate; skip the blocking finalize waits only
-        # for non-Exception interrupts (Ctrl-C must not re-block)
-        _stage_a_cleanup(block=isinstance(exc, Exception))
+        # clean up then propagate the ORIGINAL failure: _stage_a_cleanup's
+        # finalize joins the overlapped stage-A writes and can itself
+        # raise, which would displace the part-build exception into
+        # __context__ and report the cleanup error instead — so cleanup
+        # errors here are logged and suppressed. Skip the blocking
+        # finalize waits only for non-Exception interrupts (Ctrl-C must
+        # not re-block).
+        try:
+            _stage_a_cleanup(block=isinstance(exc, Exception))
+        except Exception as cleanup_exc:  # noqa: BLE001
+            import warnings
+
+            warnings.warn(
+                "stage-A cleanup failed while handling "
+                f"{type(exc).__name__}: {cleanup_exc!r} (original build "
+                "failure propagates)",
+                stacklevel=2,
+            )
         raise
     else:
         # join the overlapped staging write + commit stage rows (stage A

@@ -101,7 +101,7 @@ def fake_rgb_encode(arr: np.ndarray) -> bytes:
 def image_features(
     media: DataFrame,
     decoder: Callable[[bytes, str], np.ndarray] = decode_image,
-    min_width: int = 1,
+    min_width: int | None = None,
 ) -> DataFrame:
     """Per-image channel means + a payload fingerprint. The width filter is
     a metadata predicate — pushed to the scan, payloads of small images
@@ -110,13 +110,16 @@ def image_features(
 
     # NULL-metadata policy: a NULL width must not silently drop the row
     # through a "no-op" default predicate (NULL >= 1 filters in SQL), so
-    # the width gate applies only when the caller actually asked for one;
-    # rows with no payload carry nothing to decode and are excluded by
-    # every transform here.
+    # None is the explicit "no gate requested" sentinel and the gate
+    # applies whenever the caller passed ANY value — including
+    # min_width=1, which a magic `> 1` default could not distinguish
+    # from "unset" and would silently skip (letting width-0 rows through
+    # to decode); rows with no payload carry nothing to decode and are
+    # excluded by every transform here.
     filtered = media.filter(
         (F.col("kind") == "image") & F.col("payload").isNotNull()
     )
-    if min_width > 1:
+    if min_width is not None:
         filtered = filtered.filter(F.col("width") >= min_width)
     filtered = filtered.select("media_id", "payload", "codec")
 

@@ -170,3 +170,55 @@ def test_api_surfaces_background_build_failure(spark, tmp_path):
     st = a.statistics()
     assert st["result"] is False
     assert st["last_error"]
+
+
+def test_compact_wrapper_invalidates_memoized_engine(spark, tmp_path_factory):
+    """api.compact() must drop the memoized engine (ADVICE r3, medium):
+    compaction rmtree-swaps the postings dirs, so a cached engine's lazy
+    plans point at deleted parquet files and the next search would raise a
+    raw FileNotFoundException instead of results."""
+    idx = str(tmp_path_factory.mktemp("compactapi") / "idx")
+    a = EngineAPI(spark, idx)
+    pdf = make_transcripts(n_conversations=25, seed=17)
+    assert a.start_indexing(_sdf(spark, pdf), n_parts=2, resume=False)["result"]
+    a.wait(300)
+    extra = make_transcripts(n_conversations=6, seed=18)
+    extra["conv_id"] = "z-" + extra["conv_id"]
+    assert a.index_batch(_sdf(spark, extra))["result"]
+
+    before = a.search("query index", limit=10)
+    assert before["result"] and before["count"] > 0
+    assert a._engine is not None  # memoized by the search above
+
+    res = a.compact(n_parts=1)
+    assert res["result"] and res["parts_after"] == 1
+    assert a._engine is None  # invalidated by the wrapper
+
+    after = a.search("query index", limit=10)
+    assert after["result"]
+    assert [d["doc_id"] for d in after["data"]] == [
+        d["doc_id"] for d in before["data"]
+    ]
+    assert [d["relevance"] for d in after["data"]] == [
+        d["relevance"] for d in before["data"]
+    ]
+
+
+def test_public_invalidate_covers_out_of_band_compaction(
+    spark, tmp_path_factory
+):
+    """Out-of-band compact_index against a directory an EngineAPI is
+    serving requires api.invalidate() — the documented escape hatch."""
+    idx = str(tmp_path_factory.mktemp("oob") / "idx")
+    a = EngineAPI(spark, idx)
+    pdf = make_transcripts(n_conversations=25, seed=19)
+    assert a.start_indexing(_sdf(spark, pdf), n_parts=2, resume=False)["result"]
+    a.wait(300)
+    extra = make_transcripts(n_conversations=6, seed=20)
+    extra["conv_id"] = "w-" + extra["conv_id"]
+    assert a.index_batch(_sdf(spark, extra))["result"]
+    assert a.search("query index", limit=5)["result"]  # memoize
+    compact_index(spark, idx, n_parts=1)  # out of band
+    a.invalidate()
+    out = a.search("query index", limit=5)
+    assert out["result"] and out["count"] > 0

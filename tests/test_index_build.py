@@ -238,3 +238,84 @@ def test_blank_predicate_cross_engine_parity(spark):
     assert kept_spark == kept_duck == kept_pandas
     assert 7 in kept_spark  # nbsp kept
     assert 3 not in kept_spark  # \x0B-only dropped
+
+
+# ---------------------------------------------------------------------------
+# Resume epoch witness (ADVICE r3): a resume that redoes stage A may reuse
+# surviving DONE parts' stats_epoch ONLY if the redone stats are provably
+# the ones those parts were encoded under — otherwise stale stored
+# block_max_score bounds would re-validate and _single_term_topk could
+# silently drop true top-k hits.
+def _mk_sdf(spark, pdf):
+    from search_engine_spark import schemas
+
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+
+
+def _simulate_hard_kill_before_stage_commit(idx: str) -> None:
+    # parts land before the stage-A commit markers (index_build stage-C
+    # design); a kill -9 between them leaves DONE parts + no stage rows
+    from pathlib import Path
+
+    for stage in ("stage_docs", "stage_stats"):
+        p = Path(idx) / "_manifest" / f"{stage}.json"
+        assert p.exists()
+        p.unlink()
+
+
+def test_resume_epoch_reused_on_identical_input(spark, tmp_path):
+    from search_engine_spark.operators.query import SearchEngine
+    from search_engine_spark.synth import make_transcripts
+
+    idx = str(tmp_path / "idx_witness_same")
+    pdf = make_transcripts(n_conversations=20, seed=31)
+    build_index(spark, _mk_sdf(spark, pdf), idx, n_parts=2, resume=False)
+    _simulate_hard_kill_before_stage_commit(idx)
+    res = build_index(spark, _mk_sdf(spark, pdf), idx, n_parts=2, resume=True)
+    assert res.parts_skipped == 2  # identical input: DONE parts survive
+    # witness passes -> epoch reused -> stored bounds stay provably valid
+    assert SearchEngine(spark, idx)._stored_blockmax_valid() is True
+
+
+def test_resume_epoch_minted_fresh_on_different_n_docs(spark, tmp_path):
+    from search_engine_spark.operators.query import SearchEngine
+    from search_engine_spark.synth import make_transcripts
+
+    idx = str(tmp_path / "idx_witness_ndocs")
+    pdf = make_transcripts(n_conversations=20, seed=31)
+    build_index(spark, _mk_sdf(spark, pdf), idx, n_parts=2, resume=False)
+    _simulate_hard_kill_before_stage_commit(idx)
+    # tier-1 witness: different row count -> fresh epoch
+    pdf2 = make_transcripts(n_conversations=22, seed=31)
+    build_index(spark, _mk_sdf(spark, pdf2), idx, n_parts=2, resume=True)
+    assert SearchEngine(spark, idx)._stored_blockmax_valid() is False
+
+
+def test_resume_epoch_minted_fresh_on_changed_text(spark, tmp_path):
+    from search_engine_spark.operators.query import SearchEngine
+    from search_engine_spark.synth import make_transcripts
+
+    idx = str(tmp_path / "idx_witness_text")
+    pdf = make_transcripts(n_conversations=20, seed=31)
+    build_index(spark, _mk_sdf(spark, pdf), idx, n_parts=2, resume=False)
+    _simulate_hard_kill_before_stage_commit(idx)
+    # tier-2 witness: SAME n_docs, different token mass (one doc edited)
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[0], "text"] = (
+        str(pdf2.loc[pdf2.index[0], "text"]) + " sparkle" * 8
+    )
+    build_index(spark, _mk_sdf(spark, pdf2), idx, n_parts=2, resume=True)
+    eng = SearchEngine(spark, idx)
+    assert eng._stored_blockmax_valid() is False
+    # and the corpus row itself carries the freshly-minted epoch
+    row = spark.read.parquet(f"{idx}/corpus_stats").collect()[0].asDict()
+    from search_engine_spark.operators.index_build import _read_manifest
+
+    part_epochs = {
+        r["stats_epoch"]
+        for n, r in _read_manifest(idx).items()
+        if n.startswith("part_") and r.get("stats_epoch") is not None
+    }
+    assert int(row["stats_epoch"]) not in part_epochs or len(part_epochs) > 1

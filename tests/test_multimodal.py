@@ -95,3 +95,27 @@ def test_null_metadata_rows_handled(spark):
     assert [r["media_id"] for r in feats] == [1001]
     assert MM.sample_frames(df, every_n=5).count() == 0
     assert MM.audio_stats(df).count() == 0
+
+
+def test_min_width_one_is_honored(spark):
+    """An explicit min_width=1 must gate width-0 rows (ADVICE r3: the old
+    `> 1` heuristic could not distinguish an explicit 1 from the default
+    and silently skipped the filter); the None default applies no gate."""
+    pdf = MM.make_media(n=40, seed=3)
+    imgs = pdf[pdf["kind"] == "image"]
+    zero_id = imgs["media_id"].iloc[0]
+    pdf.loc[pdf["media_id"] == zero_id, "width"] = 0
+    df = spark.createDataFrame(pdf, schema=MM.MEDIA)
+
+    ungated = {
+        r["media_id"]
+        for r in MM.image_features(df, decoder=MM.fake_rgb_decoder).collect()
+    }
+    gated = {
+        r["media_id"]
+        for r in MM.image_features(
+            df, decoder=MM.fake_rgb_decoder, min_width=1
+        ).collect()
+    }
+    assert zero_id in ungated  # None default: no width gate
+    assert gated == ungated - {zero_id}  # explicit 1: gate applies
