@@ -365,12 +365,13 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 def _engine_topk(
     spark: SparkSession, sf_dir: str, terms, mode: str, k: int = TOPK,
     conjunctive: bool = True, max_df: int | None = None, offset: int = 0,
-    use_blockmax: bool | None = None,
+    use_blockmax: bool | None = None, use_maxscore: bool | None = None,
 ) -> DataFrame:
     eng = SearchEngine(spark, ensure_index(spark, sf_dir))
     ids = eng.search_ids(" ".join(terms), k=k, mode=mode,
                          conjunctive=conjunctive, max_df=max_df,
-                         offset=offset, use_blockmax=use_blockmax)
+                         offset=offset, use_blockmax=use_blockmax,
+                         use_maxscore=use_maxscore)
     remap = eng.documents.select("doc_id", "turn_idx")
     return (
         ids.join(remap, "doc_id")
@@ -584,6 +585,29 @@ def q_engine_disjunctive(spark, sf_dir):
     only lossless under conjunction)."""
     return _engine_topk(
         spark, sf_dir, RARE_QUERY_TERMS, "bm25", conjunctive=False
+    )
+
+
+HOT_DISJ_TERMS = ("spark", "batch")  # df-asc at sf0.01: 385 / 402 — hottest
+
+
+def q_engine_hot_disjunctive(spark, sf_dir):
+    """Hot 2-term OR query through the two-pass MaxScore bound-sum plan
+    (query.py _maxscore_topk, forced on): per-term block bounds fold into
+    a coarse doc_id grid, a per-term seed decode sets tau, buckets whose
+    bound SUM < tau are dropped whole, and the classic disjunctive plan
+    runs over the surviving doc_id spans — SURVEY.md §7.3's "block-max
+    WAND" promise for the multi-term case (the reference's rarest-first
+    loop SearchServiceImpl.java:160-166 generalized to OR semantics it
+    never had). The oracle is the plain disjunctive SQL scorer — green
+    pins the whole prune-then-decode plan to the exact result. Actual
+    bucket DROPPING needs tf spread and is exercised by
+    tests/test_query.py::test_maxscore_actually_prunes_and_stays_exact;
+    at sf0.01 every bucket competes (near-uniform tfs) and the sweep
+    keeps them all — correct, just nothing to skip at gate scale."""
+    return _engine_topk(
+        spark, sf_dir, HOT_DISJ_TERMS, "bm25", conjunctive=False,
+        use_maxscore=True,
     )
 
 
@@ -3188,6 +3212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_hot_topk": q_engine_hot_topk,
     "engine_hot_fallback_topk": q_engine_hot_fallback_topk,
     "engine_disjunctive": q_engine_disjunctive,
+    "engine_hot_disjunctive": q_engine_hot_disjunctive,
     "engine_maxdf_topk": q_engine_maxdf_topk,
     "engine_paged_topk": q_engine_paged_topk,
     "engine_incremental_stats": q_engine_incremental_stats,
@@ -3260,6 +3285,10 @@ ORACLES: dict[str, str] = {
     "engine_hot_fallback_topk": _topk_sql([HOT_QUERY_TERM], "bm25"),
     "engine_disjunctive": _topk_sql(
         list(RARE_QUERY_TERMS), "bm25", conjunctive=False
+    ),
+    # hot 2-term OR through the forced MaxScore plan == plain disjunctive
+    "engine_hot_disjunctive": _topk_sql(
+        list(HOT_DISJ_TERMS), "bm25", conjunctive=False
     ),
     # P3: survivors + accumulation order derived from dft, not hardcoded
     "engine_maxdf_topk": _maxdf_topk_sql(QUERY_TERMS, MAX_DF_CUTOFF),

@@ -134,6 +134,8 @@ class SearchEngine:
         self._df_cache: dict[str, int | None] = {}
         self._ranges_cache: dict[str, list[tuple[int, int]] | None] = {}
         self._stored_bmx_valid: bool | None = None
+        # plan-audit breadcrumbs from the last _maxscore_topk run
+        self.last_maxscore_stats: dict | None = None
 
     VALID_MODES = ("bm25", "relevance_ref")
 
@@ -527,6 +529,7 @@ class SearchEngine:
         scope: str | None = None,
         use_batch_plan: bool | None = None,
         use_blockmax: bool | None = None,
+        use_maxscore: bool | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) — the rank-identity contract surface.
         ``scope`` restricts results to conversations whose conv_id starts
@@ -548,8 +551,10 @@ class SearchEngine:
         regression tests compare the two), or True to assert batch
         eligibility. Hot SINGLE-term queries (df >=
         BLOCKMAX_MIN_POSTINGS) route to the two-pass block-max plan
-        instead (``use_blockmax`` forces it on/off; all three plans are
-        bit-identical by contract)."""
+        instead (``use_blockmax`` forces it on/off); hot MULTI-term
+        DISJUNCTIVE queries (summed df over the threshold) route to the
+        two-pass MaxScore bound-sum plan (``use_maxscore`` forces it —
+        see _maxscore_topk). All plans are bit-identical by contract."""
         self._check_mode(mode)
 
         def empty() -> DataFrame:
@@ -584,6 +589,35 @@ class SearchEngine:
                     f"{len(infos)} dictionary terms"
                 )
             return self._single_term_topk(infos[0], k, mode)
+        # MaxScore routing: the disjunctive analog of the single-term
+        # block-max plan — only from the fully-default state or when
+        # explicitly forced
+        if use_maxscore is None:
+            use_maxscore = False
+            if (not conjunctive and use_batch_plan is None and offset == 0
+                    and scope is None and max_df is None):
+                infos, _ = self.lookup_terms(query)
+                if len(infos) > 1:
+                    use_maxscore = (
+                        sum(ti.df for ti in infos)
+                        >= self.BLOCKMAX_MIN_POSTINGS
+                    )
+        if use_maxscore:
+            if offset != 0 or scope is not None or max_df is not None:
+                raise ValueError(
+                    "use_maxscore=True requires offset=0, scope=None, "
+                    "max_df=None (those features ride the classic plan)"
+                )
+            if conjunctive:
+                raise ValueError(
+                    "use_maxscore=True requires conjunctive=False — "
+                    "conjunctive queries already prune via rarest-term "
+                    "doc_id ranges"
+                )
+            infos, _ = self.lookup_terms(query)
+            if not infos:
+                return empty()
+            return self._maxscore_topk(infos, k, mode)
         if use_batch_plan is None:
             use_batch_plan = False
             if offset == 0 and scope is None and max_df is None:
@@ -641,28 +675,9 @@ class SearchEngine:
             infos, mode=mode, conjunctive=conjunctive,
             scope_ranges=scope_ranges,
         )
-        n = len(infos)
-        # pivot to one column per term (values are single partial scores,
-        # so the pivot-sum is exact), then combine left-to-right in
-        # df-ascending order — fixed float accumulation order.
-        pivoted = (
-            partials.groupBy("doc_id")
-            .pivot("order", list(range(n)))
-            .agg(F.first("s"))
-        )
-        score = F.lit(0.0)
-        for o in range(n):
-            score = score + F.coalesce(F.col(f"`{o}`"), F.lit(0.0))
-        scored = pivoted.withColumn("score", score)
-        if conjunctive and n > 1:
-            present = None
-            for o in range(n):
-                c = F.col(f"`{o}`").isNotNull()
-                present = c if present is None else (present & c)
-            scored = scored.filter(present)
+        scored = self._pivot_combine(partials, len(infos), conjunctive)
         topk = (
-            scored.select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(offset + k)
         )
         if offset:
@@ -678,6 +693,33 @@ class SearchEngine:
                 .drop("_rn")
             )
         return topk
+
+    def _pivot_combine(
+        self, partials: DataFrame, n: int, conjunctive: bool
+    ) -> DataFrame:
+        """(doc_id, order, s) partials -> (doc_id, score): pivot to one
+        column per term (values are single partial scores, so the
+        pivot-sum is exact), then combine left-to-right in df-ascending
+        order — fixed float accumulation order, bit-identical to the
+        single-node oracle. Shared by the classic plan and the MaxScore
+        seed pass (the seed's tau must be a score the final plan could
+        emit, or the prune threshold would drift by an ulp)."""
+        pivoted = (
+            partials.groupBy("doc_id")
+            .pivot("order", list(range(n)))
+            .agg(F.first("s"))
+        )
+        score = F.lit(0.0)
+        for o in range(n):
+            score = score + F.coalesce(F.col(f"`{o}`"), F.lit(0.0))
+        scored = pivoted.withColumn("score", score)
+        if conjunctive and n > 1:
+            present = None
+            for o in range(n):
+                c = F.col(f"`{o}`").isNotNull()
+                present = c if present is None else (present & c)
+            scored = scored.filter(present)
+        return scored.select("doc_id", "score")
 
     # ------------------------------------------------------------------
     # Single-term block-max pruning (SURVEY.md §7.3, the true block-max
@@ -811,6 +853,193 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    # ------------------------------------------------------------------
+    # Multi-term block-max pruning (MaxScore / BMW's block-skip half in
+    # batch form — SURVEY.md §7.3 "block-max WAND"; reference anchor: the
+    # rarest-first candidate loop SearchServiceImpl.java:160-166,
+    # generalized to disjunctive semantics the reference never had).
+    MAXSCORE_GRID = 4096  # coarse doc_id buckets for the bound-sum sweep
+
+    def _bound_col_multi(self, infos: list[TermInfo], mode: str) -> F.Column:
+        """Per-block score upper bound usable on a MULTI-term block frame
+        — `_block_bound_col` with the per-term idf supplied via a literal
+        term->idf map expression (|q| entries). Same soundness proof as
+        the single-term bound; the stored `block_max_score` (exact, idf
+        baked in at encode) is preferred whenever the stats-epoch
+        handshake validates it."""
+        mt = F.col("max_tf").cast("double")
+        if mode == "bm25":
+            if self._stored_blockmax_valid():
+                return F.col("block_max_score")
+            dl_eff = (
+                F.greatest(F.col("min_dl"), F.col("max_tf")).cast("double")
+                if "min_dl" in self.postings.columns
+                else mt
+            )
+            idf_map = F.create_map(
+                *[
+                    lit
+                    for ti in infos
+                    for lit in (F.lit(ti.term), F.lit(self._idf(ti.df)))
+                ]
+            )
+            denom = mt + F.lit(K1) * (
+                F.lit(1 - B) + F.lit(B) * dl_eff / F.lit(self.avgdl)
+            )
+            return (idf_map[F.col("term")] * (mt * F.lit(K1 + 1))) / denom
+        return mt / F.lit(self.max_tf_sum)
+
+    def _maxscore_topk(
+        self, infos: list[TermInfo], k: int, mode: str
+    ) -> DataFrame:
+        """Two-pass EXACT block-max pruning for a multi-term DISJUNCTIVE
+        query — the case rarest-term range pruning cannot touch (it is
+        only lossless under conjunction) and where a hot OR query
+        otherwise decodes every subscribed block.
+
+        1. bound grid (one small distributed agg): every query-term block's
+           score upper bound is folded into a coarse doc_id grid of
+           MAXSCORE_GRID buckets — max bound per (term, bucket), a block
+           contributing to every bucket it overlaps. Collecting the grid
+           is O(|q| * GRID) rows regardless of df, so the driver never
+           sees per-block metadata of a hot term (at 10^12 docs a hot
+           term's block LIST is itself too big to collect — the grid is
+           the scale-safe summary).
+        2. seed (one bounded decode): the k best-bounded blocks PER TERM
+           (WindowGroupLimit over block metadata) are decoded and combined
+           through the SAME pivot/fixed-order accumulation as the classic
+           plan; the provisional kth score tau under-estimates each seed
+           doc's true score (other terms' undecoded blocks can only add),
+           so tau <= the true kth score.
+        3. sweep (driver-side numpy over the grid): a bucket's score
+           ceiling is sum over terms of its max bound — any doc in the
+           bucket scores <= that sum. Buckets with ceiling < tau are
+           dropped WHOLE (every term's postings for those doc_ids), so a
+           surviving doc keeps ALL its term contributions and its final
+           score is bit-identical to the classic plan; a dropped doc
+           scores <= ceiling < tau <= true-kth, strictly below, so it
+           cannot enter the top-k even via the doc_id tie-break. Every
+           true top-k doc's bucket necessarily survives (its ceiling >=
+           its score >= true-kth >= tau).
+        4. the kept buckets merge into doc_id spans (coarsened to
+           PRUNE_MAX_FILTER_RANGES by bridging the smallest gaps — a
+           superset, always sound) and the classic plan runs with them as
+           scope_ranges: row-group min/max skips non-competitive blocks
+           at the SCAN, the decode-side mask drops stragglers.
+
+        Records {tau, buckets_total, buckets_kept, n_spans} in
+        ``last_maxscore_stats`` for plan audits."""
+        from ..functions.spark_hash import spark_bucket
+
+        if k <= 0:
+            return self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
+        terms = [ti.term for ti in infos]
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
+        blocks = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        bound = self._bound_col_multi(infos, mode)
+
+        # -- pass 1a: per-(term, grid-bucket) max bound ------------------
+        grid_n = self.MAXSCORE_GRID
+        width = max(1, -(-(self.n_docs + 1) // grid_n))  # ceil div
+        g_first = (F.col("first_doc_id") / F.lit(width)).cast("long")
+        g_last = (F.col("last_doc_id") / F.lit(width)).cast("long")
+        grid_rows = (
+            blocks.withColumn("_bms", bound)
+            .select(
+                "term",
+                F.explode(F.sequence(g_first, g_last)).alias("g"),
+                "_bms",
+            )
+            .groupBy("term", "g")
+            .agg(F.max("_bms").alias("bmax"))
+            .collect()
+        )
+        if not grid_rows:  # no postings for any query term
+            return self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
+
+        # -- pass 1b: seed tau from the k best-bounded blocks per term --
+        w = Window.partitionBy("term").orderBy(
+            F.desc("_bms"), F.asc("first_doc_id")
+        )
+        seed_blocks = (
+            blocks.withColumn("_bms", bound)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_bms")
+        )
+        seed_partials = self.candidate_scores(
+            infos, mode=mode, conjunctive=False, blocks_df=seed_blocks
+        )
+        seed_rows = (
+            self._pivot_combine(seed_partials, len(infos), False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) < k:
+            # fewer than k candidate docs exist in the seed superset: no
+            # sound threshold — decode everything (classic disjunctive)
+            self.last_maxscore_stats = None
+            return self._classic_topk(infos, k=k, mode=mode, conjunctive=False)
+        tau = float(seed_rows[-1]["score"])
+
+        # -- pass 2 prep: driver-side bound-sum sweep over the grid ------
+        ub = np.zeros(grid_n + 1, dtype=np.float64)  # +1: last block may
+        for r in grid_rows:  # round last_doc_id into a final part bucket
+            g = int(r["g"])
+            if 0 <= g <= grid_n:
+                ub[g] += float(r["bmax"])
+        kept = np.flatnonzero(ub >= tau)
+        self.last_maxscore_stats = {
+            "tau": tau,
+            "buckets_total": int((ub > 0.0).sum()),
+            "buckets_kept": int(kept.size),
+        }
+        if kept.size == 0:
+            # cannot happen with a sound bound (the tau doc's own bucket
+            # clears it) — fail safe, not fast
+            return self._classic_topk(infos, k=k, mode=mode, conjunctive=False)
+        spans = self._merge_spans(
+            [(int(g) * width, int(g) * width + width - 1) for g in kept]
+        )
+        if len(spans) > self.PRUNE_MAX_FILTER_RANGES:
+            spans = self._coarsen_spans(spans, self.PRUNE_MAX_FILTER_RANGES)
+        self.last_maxscore_stats["n_spans"] = len(spans)
+        return self._classic_topk(
+            infos, k=k, mode=mode, conjunctive=False, scope_ranges=spans
+        )
+
+    @staticmethod
+    def _coarsen_spans(
+        spans: list[tuple[int, int]], cap: int
+    ) -> list[tuple[int, int]]:
+        """Reduce a sorted merged span list to <= cap spans by bridging
+        the SMALLEST inter-span gaps (keeping a superset is always sound
+        for pruning; the scan filter just skips a little less)."""
+        if len(spans) <= cap:
+            return spans
+        gaps = np.array(
+            [spans[i + 1][0] - spans[i][1] for i in range(len(spans) - 1)]
+        )
+        # keep the (cap - 1) largest gaps as separators; bridge the rest
+        sep = set(np.argsort(gaps)[-(cap - 1):].tolist()) if cap > 1 else set()
+        out: list[tuple[int, int]] = []
+        cur_lo, cur_hi = spans[0]
+        for i in range(1, len(spans)):
+            if (i - 1) in sep:
+                out.append((cur_lo, cur_hi))
+                cur_lo, cur_hi = spans[i]
+            else:
+                cur_hi = spans[i][1]
+        out.append((cur_lo, cur_hi))
+        return out
 
     # ------------------------------------------------------------------
     PREFIX_MAX_EXPANSIONS = 64

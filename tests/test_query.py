@@ -335,3 +335,130 @@ def test_unknown_mode_raises(engine):
         engine.search_many(["query"], mode="bm-25")
     with pytest.raises(ValueError):
         engine.search_prefix("qu", mode="tfidf")
+
+
+# ---------------------------------------------------------------------------
+# Multi-term MaxScore (disjunctive block-max bound-sum pruning)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("mode", ["bm25", "relevance_ref"])
+@pytest.mark.parametrize(
+    "spec",
+    [q for q in QUERIES if not q.get("offset") and q.get("max_df") is None][:6],
+    ids=[
+        q["name"]
+        for q in QUERIES
+        if not q.get("offset") and q.get("max_df") is None
+    ][:6],
+)
+def test_maxscore_equals_classic_plan(spec, mode, engine):
+    """The forced MaxScore plan must be bit-identical to the classic
+    disjunctive full-decode plan on the reference query set, both
+    scoring modes."""
+    k = spec.get("k", 10)
+    fast = engine.search_ids(
+        spec["q"], k=k, mode=mode, conjunctive=False, use_maxscore=True
+    ).toPandas()
+    classic = engine.search_ids(
+        spec["q"], k=k, mode=mode, conjunctive=False, use_batch_plan=False
+    ).toPandas()
+    assert fast["doc_id"].tolist() == classic["doc_id"].tolist(), spec["name"]
+    assert fast["score"].tolist() == classic["score"].tolist(), spec["name"]
+
+
+def test_maxscore_fallback_bound_equals_classic(engine):
+    """MaxScore on the drift-immune max_tf/min_dl bound (stored bound
+    invalidated — the post-incremental-merge configuration) must stay
+    exact too."""
+    eng = SearchEngine(engine.spark, engine.index_dir)
+    eng._stored_bmx_valid = False
+    fast = eng.search_ids(
+        "query index", k=10, conjunctive=False, use_maxscore=True
+    ).toPandas()
+    classic = eng.search_ids(
+        "query index", k=10, conjunctive=False, use_batch_plan=False
+    ).toPandas()
+    assert fast["doc_id"].tolist() == classic["doc_id"].tolist()
+    assert fast["score"].tolist() == classic["score"].tolist()
+
+
+def test_maxscore_rejects_unsupported_args(engine):
+    with pytest.raises(ValueError, match="conjunctive"):
+        engine.search_ids("query index", use_maxscore=True)
+    with pytest.raises(ValueError, match="offset"):
+        engine.search_ids(
+            "query index", offset=5, conjunctive=False, use_maxscore=True
+        )
+
+
+def test_maxscore_missing_term_is_ignored_disjunctively(engine, oracle_idx):
+    """Disjunctive semantics: a dictionary-missing term contributes
+    nothing but does not empty the result."""
+    got = engine.search_ids(
+        "query zzzznonexistent", k=10, conjunctive=False, use_maxscore=True
+    ).toPandas()
+    exp = oracle_search(oracle_idx, "query", k=10, conjunctive=False)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+
+
+def test_maxscore_actually_prunes_and_stays_exact(spark, tmp_path):
+    """On a Zipf-head corpus (a handful of tf-heavy docs clustered at the
+    tail of the doc_id space over a sea of tf=1 mentions), the bound-sum
+    sweep must drop most grid buckets while the pruned plan stays
+    bit-identical to the classic disjunctive plan — for BOTH bound
+    sources (stored block_max_score and the drift-immune fallback)."""
+    import datetime
+
+    import pandas as pd
+
+    from search_engine_spark.operators.index_build import build_index
+
+    filler = "alpha bravo charlie delta echo foxtrot golf hotel " * 2
+    texts = [f"{filler} hot warm mention{i}" for i in range(600)]
+    # tf-heavy docs cluster at the END of (conv_id, turn_idx) order
+    texts += ["hot warm " * 6] * 5
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:04d}" for i in range(len(texts))],
+            "turn_idx": 0,
+            "role": "user",
+            "text": texts,
+            "tool": None,
+            "ts": datetime.datetime(2025, 1, 1),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    out = str(tmp_path / "idx_ms")
+    build_index(spark, spark.createDataFrame(pdf), out, n_parts=2,
+                resume=False)
+    eng = SearchEngine(spark, out)
+    for stored in (True, False):
+        eng2 = SearchEngine(spark, out)
+        if not stored:
+            eng2._stored_bmx_valid = False
+        fast = eng2.search_ids(
+            "hot warm", k=3, conjunctive=False, use_maxscore=True
+        ).toPandas()
+        classic = eng2.search_ids(
+            "hot warm", k=3, conjunctive=False, use_batch_plan=False
+        ).toPandas()
+        assert fast["doc_id"].tolist() == classic["doc_id"].tolist(), stored
+        assert fast["score"].tolist() == classic["score"].tolist(), stored
+        st = eng2.last_maxscore_stats
+        assert st is not None and st["buckets_kept"] < st["buckets_total"], (
+            stored,
+            st,
+        )
+
+
+def test_maxscore_auto_routes_on_hot_disjunctive(engine):
+    """Plain disjunctive multi-term queries route through MaxScore when
+    the summed df clears the threshold (instance-shadowed here) and stay
+    on the classic plan below it."""
+    eng = SearchEngine(engine.spark, engine.index_dir)
+    eng.last_maxscore_stats = None
+    eng.search_ids("query index", k=5, conjunctive=False).collect()
+    assert eng.last_maxscore_stats is None  # tiny dfs: classic plan
+    eng.BLOCKMAX_MIN_POSTINGS = 1  # instance shadow: force eligibility
+    eng.search_ids("query index", k=5, conjunctive=False).collect()
+    assert eng.last_maxscore_stats is not None  # routed through MaxScore
