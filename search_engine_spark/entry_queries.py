@@ -920,6 +920,65 @@ SELECT doc_id, min_dist FROM d WHERE min_dist <= {PROX_WINDOW}
 """
 
 
+def q_engine_phrase_topk(spark, sf_dir):
+    """Indexed phrase search, candidate-first (SearchEngine.search_phrase):
+    BM25 candidates for the phrase's lemmas come THROUGH the index
+    (classic conjunctive plan, uncut), and the contiguous-run phrase test
+    is a residual Catalyst filter on the candidate join — no full-corpus
+    re-analysis in the plan (q_phrase_match above keeps that naive shape
+    as the baseline; PERF.md documents the trade vs positions-in-codec).
+    The oracle derives the SAME candidate scores (df-asc list_reduce over
+    the dft CTE) and intersects them with the SQL phrase filter — green
+    pins candidate generation, residual filtering, and float accumulation
+    together."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    ids = eng.search_phrase(" ".join(PHRASE_TERMS), k=TOPK)
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _engine_phrase_sql(k: int = TOPK) -> str:
+    """Conjunctive BM25 over the phrase's distinct lemmas (df-asc derived
+    accumulation, as _maxdf_topk_sql) restricted to docs whose lemma
+    sequence contains the phrase contiguously (as _sql_phrase_match)."""
+    m = len(PHRASE_TERMS)
+    cond = " AND ".join(
+        f"lem[i + {j}] = '{t}'" for j, t in enumerate(PHRASE_TERMS)
+    )
+    distinct = sorted(set(PHRASE_TERMS))
+    return f"""
+WITH {_base_ctes()},
+lemx AS (SELECT doc_id, {lemmas_list_sql()} AS lem FROM documents),
+pdocs AS (
+    SELECT doc_id FROM lemx
+    WHERE len(list_filter(
+        range(1, greatest(len(lem) - {m - 1}, 0) + 1), i -> {cond})) >= 1
+),
+partials AS (
+    SELECT tf.doc_id, tf.term, dft.df, {_score_sql("bm25")} AS s
+    FROM tf
+    JOIN dft USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.term IN ({_in_list(distinct)})
+),
+agg AS (
+    SELECT doc_id, list(s ORDER BY df ASC, term ASC) AS ss,
+           COUNT(*) AS n_present
+    FROM partials GROUP BY doc_id
+)
+SELECT g.doc_id, list_reduce(ss, (a, b) -> a + b) AS score
+FROM agg g JOIN pdocs USING (doc_id)
+WHERE n_present = {len(distinct)}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def q_engine_prefix_topk(spark, sf_dir):
     """Dictionary prefix expansion (J3 surface) + disjunctive BM25 through
     the REAL engine: search_prefix expands PREFIX_QUERY against
@@ -3221,6 +3280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_scoped_topk": q_engine_scoped_topk,
     "engine_batch_topk": q_engine_batch_topk,
     "engine_prefix_topk": q_engine_prefix_topk,
+    "engine_phrase_topk": q_engine_phrase_topk,
     "phrase_match": q_phrase_match,
     "proximity_match": q_proximity_match,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -3308,6 +3368,8 @@ ORACLES: dict[str, str] = {
     "engine_batch_topk": _batch_topk_sql(),
     # prefix expansion set + df-asc accumulation both derived from dft
     "engine_prefix_topk": _prefix_topk_sql(PREFIX_QUERY),
+    # indexed candidate-first phrase search == conjunctive BM25 ∩ phrase
+    "engine_phrase_topk": _engine_phrase_sql(),
     "phrase_match": _sql_phrase_match(),
     "proximity_match": _sql_proximity_match(),
     # P4 scope: global stats, candidates restricted to the scoped sources

@@ -1099,6 +1099,62 @@ class SearchEngine:
         return self._classic_topk(infos, k=k, mode=mode, conjunctive=False)
 
     # ------------------------------------------------------------------
+    def search_phrase(
+        self, phrase_text: str, k: int = 10, mode: str = "bm25"
+    ) -> DataFrame:
+        """Indexed exact-phrase top-k, candidate-first (the composition
+        PERF.md documents; positions-in-codec is explicitly traded away
+        for ~2x smaller postings): BM25 candidates come THROUGH the
+        index — the analyzed phrase's distinct lemmas run the classic
+        conjunctive plan (rarest-term range pruning, pivot, fixed-order
+        accumulation), uncut — and the phrase test (contiguous lemma run,
+        functions/phrase.phrase_count_col) is a RESIDUAL Catalyst filter
+        evaluated only around the k-bounded candidate join, never as a
+        full-corpus re-analysis (the naive plan a positional-index-less
+        engine falls into; phrase_match keeps that shape as the oracle
+        baseline). The documents side of the join is additionally
+        range-pruned to the rarest lemma's doc_id spans, so the scan
+        skips row groups that cannot hold a candidate.
+
+        Scores are the conjunctive BM25 scores of the surviving docs —
+        bit-identical to search_ids on the same lemma set restricted to
+        phrase matches (the filter drops rows, never touches floats).
+        A phrase lemma missing from the dictionary means no document can
+        contain the phrase: empty result (the search_ids contract).
+        Cite: SearchServiceImpl.java:155-168 (the candidate loop this
+        composes with); beyond-reference surface like search_prefix."""
+        from ..functions.analyzer import terms_col
+        from ..functions.phrase import phrase_count_col
+
+        self._check_mode(mode)
+        lemmas = analyze_text(phrase_text)  # ordered, duplicates kept
+        if not lemmas:
+            raise ValueError("phrase analyzes to zero lemmas")
+        infos, n_missing = self._infos_for_terms(sorted(set(lemmas)))
+        if n_missing:
+            return self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
+        partials = self.candidate_scores(infos, mode=mode, conjunctive=True)
+        scored = self._pivot_combine(partials, len(infos), conjunctive=True)
+        docs = self.documents.select("doc_id", "text")
+        ranges = self._rare_term_ranges(infos[0])
+        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
+            overlap = None
+            for lo, hi in ranges:
+                c = F.col("doc_id").between(lo, hi)
+                overlap = c if overlap is None else (overlap | c)
+            docs = docs.filter(overlap)
+        occ = phrase_count_col(terms_col(F.col("text")), tuple(lemmas))
+        return (
+            scored.join(docs, "doc_id")
+            .filter(occ >= F.lit(1))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    # ------------------------------------------------------------------
     def search_many(
         self,
         queries: dict[str, str] | list[str],

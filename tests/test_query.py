@@ -11,6 +11,7 @@ from pathlib import Path
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.oracle import oracle_search
 from search_engine_spark.operators.query import SearchEngine
@@ -462,3 +463,63 @@ def test_maxscore_auto_routes_on_hot_disjunctive(engine):
     eng.BLOCKMAX_MIN_POSTINGS = 1  # instance shadow: force eligibility
     eng.search_ids("query index", k=5, conjunctive=False).collect()
     assert eng.last_maxscore_stats is not None  # routed through MaxScore
+
+
+# ---------------------------------------------------------------------------
+# Indexed candidate-first phrase search
+# ---------------------------------------------------------------------------
+def _expected_phrase_topk(engine, lemmas, k):
+    """Independent residual-filter oracle: classic conjunctive scores for
+    the distinct lemmas (uncut), intersected with a FULL-SCAN phrase
+    count — the naive shape search_phrase exists to avoid."""
+    from search_engine_spark.functions.analyzer import terms_col
+    from search_engine_spark.functions.phrase import phrase_count_col
+
+    infos, n_missing = engine._infos_for_terms(sorted(set(lemmas)))
+    assert not n_missing
+    scored = engine._pivot_combine(
+        engine.candidate_scores(infos, mode="bm25", conjunctive=True),
+        len(infos),
+        True,
+    )
+    occ = phrase_count_col(terms_col(F.col("text")), tuple(lemmas))
+    hits = engine.documents.select("doc_id", occ.alias("n")).filter(
+        F.col("n") >= 1
+    )
+    return (
+        scored.join(hits.select("doc_id"), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .toPandas()
+    )
+
+
+def test_search_phrase_equals_residual_oracle(engine):
+    from search_engine_spark.functions.analyzer import analyze_text
+
+    # pick a REAL contiguous bigram from a fixture doc so the result is
+    # non-empty regardless of synth corpus details
+    text = engine.documents.filter(F.col("dl") >= 4).first()["text"]
+    lemmas = analyze_text(text)[:2]
+    assert len(lemmas) == 2
+    got = engine.search_phrase(" ".join(lemmas), k=10).toPandas()
+    exp = _expected_phrase_topk(engine, lemmas, 10)
+    assert len(got) > 0
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+
+
+def test_search_phrase_single_lemma_equals_search_ids(engine):
+    got = engine.search_phrase("query", k=10).toPandas()
+    exp = engine.search_ids("query", k=10, use_batch_plan=False).toPandas()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+
+
+def test_search_phrase_missing_lemma_is_empty(engine):
+    assert engine.search_phrase("query zzzznonexistent", k=10).count() == 0
+
+
+def test_search_phrase_rejects_empty(engine):
+    with pytest.raises(ValueError, match="zero lemmas"):
+        engine.search_phrase("...", k=10)
