@@ -53,6 +53,62 @@ def _timed(fn) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+# Headline-suite steal gating (round-3 lesson: the driver's n=1 numbers
+# moved +/-2x with host CPU-steal episodes and regressions were
+# unattributable). Each query is timed up to HEADLINE_MAX_ATTEMPTS times;
+# a timing whose /proc/stat window shows steal > STEAL_REJECT_FRACTION of
+# the wall x cores budget is rejected; the reported number is the best
+# CLEAN timing (best-of-N also absorbs first-run codegen warmup). Queries
+# that never get a clean window are reported from their best dirty timing
+# and listed in "dirty_queries" so a regression is attributable.
+HEADLINE_REPS = 3
+HEADLINE_MAX_ATTEMPTS = 5
+BUILD_REPS = 2
+BUILD_MAX_ATTEMPTS = 3
+# suite-wide budget (seconds) for waiting out steal episodes between dirty
+# retries — bounded so the driver's bench run can never hang on a loud host
+HEADLINE_QUIET_BUDGET_SEC = 150.0
+HEADLINE_QUIET_PROBE_SEC = 3.0
+HEADLINE_QUIET_PCT = 0.5
+
+
+def _wait_quiet(budget: list[float]) -> None:
+    """Burn shared budget until a probe window shows the host quiet."""
+    while budget[0] > 0:
+        s0 = _read_proc_stat()
+        time.sleep(HEADLINE_QUIET_PROBE_SEC)
+        s1 = _read_proc_stat()
+        budget[0] -= HEADLINE_QUIET_PROBE_SEC
+        d = [y - x for x, y in zip(s0, s1)]
+        if 100.0 * d[7] / max(1, sum(d)) <= HEADLINE_QUIET_PCT:
+            return
+
+
+def _gated_best(fn, cpus: int, reps: int, max_attempts: int,
+                quiet_budget: list[float] | None = None):
+    """(best_sec, total_steal_sec, clean) over steal-gated attempts. After
+    a dirty attempt, waits (within the shared suite budget) for the
+    host-quiet probe signal quiet_run.py uses before burning another."""
+    timings: list[tuple[float, float, bool]] = []
+    for _ in range(max_attempts):
+        s0 = _read_proc_stat()
+        t0 = time.time()
+        fn()
+        wall = time.time() - t0
+        steal = (_read_proc_stat()[7] - s0[7]) / 100.0
+        clean = steal <= STEAL_REJECT_FRACTION * wall * cpus
+        timings.append((wall, steal, clean))
+        if sum(1 for t in timings if t[2]) >= reps:
+            break
+        if not clean and quiet_budget is not None:
+            _wait_quiet(quiet_budget)
+    total_steal = sum(t[1] for t in timings)
+    clean_walls = [t[0] for t in timings if t[2]]
+    if clean_walls:
+        return min(clean_walls), total_steal, True
+    return min(t[0] for t in timings), total_steal, False
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -61,16 +117,21 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     n_docs = docs.count()
 
     idx_dir = f"/tmp/bench_index_{Path(sf_dir).name}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(
-        spark,
-        EQ.documents_as_transcripts(docs),
-        idx_dir,
-        n_parts=2,
-        resume=False,
+
+    def _one_build():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_index(
+            spark,
+            EQ.documents_as_transcripts(docs),
+            idx_dir,
+            n_parts=2,
+            resume=False,
+        )
+
+    quiet_budget = [HEADLINE_QUIET_BUDGET_SEC]
+    t_build, build_steal, build_clean = _gated_best(
+        _one_build, cpus, BUILD_REPS, BUILD_MAX_ATTEMPTS, quiet_budget
     )
-    t_build = time.time() - t0
     eng = SearchEngine(spark, idx_dir)
 
     queries = {
@@ -113,9 +174,16 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "term_stats": lambda: EQ.q_term_stats(spark, sf_dir).count(),
     }
     per_query: dict[str, float] = {"index_build": round(t_build, 3)}
+    steal_total = build_steal
+    dirty: list[str] = [] if build_clean else ["index_build"]
     for name, fn in queries.items():
-        sec, _ = _timed(fn)
+        sec, steal, clean = _gated_best(
+            fn, cpus, HEADLINE_REPS, HEADLINE_MAX_ATTEMPTS, quiet_budget
+        )
         per_query[name] = round(sec, 3)
+        steal_total += steal
+        if not clean:
+            dirty.append(name)
 
     total = sum(per_query.values())
     result = {
@@ -126,6 +194,18 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "sf": _sf_of(sf_dir),
         "n_docs": n_docs,
         "cpus": cpus,
+        # steal-gated best-of-N protocol (see _gated_best): numbers from
+        # r4 on are best CLEAN timings, not single cold shots — the r3
+        # headline "+18% regression" was unattributable steal noise
+        "protocol": (
+            f"best-of-{HEADLINE_REPS}-clean, steal-gated at "
+            f"{STEAL_REJECT_FRACTION} of wall x cores"
+        ),
+        "steal_sec_total": round(steal_total, 1),
+        "quiet_wait_sec": round(
+            HEADLINE_QUIET_BUDGET_SEC - quiet_budget[0], 1
+        ),
+        "dirty_queries": dirty,
         # NB: at sf0.1 (5k docs) the build is FIXED-COST dominated (Spark
         # session + job setup); this rate is not the engine's throughput.
         # The steal-rejected 700k-turn measurement is the real number —

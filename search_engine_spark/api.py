@@ -247,6 +247,99 @@ class EngineAPI:
             ],
         }
 
+    # -- POST /api/searchMany (beyond-reference batched surface) -----------
+    def search_many(
+        self,
+        queries: dict[str, str] | list[str],
+        *,
+        offset: int = 0,
+        limit: int = 20,
+        mode: str = "bm25",
+        conjunctive: bool = True,
+        with_snippets: bool = True,
+    ) -> dict[str, Any]:
+        """Batched search with the reference envelope PER QUERY: one Spark
+        job scores the whole workload through the packed single-scan plan
+        (SearchEngine.search_many — every posting block decoded once for
+        the union vocabulary), then one k-bounded presentation join adds
+        conv_id/turn_idx/snippets for all queries at once. Response:
+        {"result": True, "results": {qid: {result, count, data:[...]}}};
+        a blank query text gets its own {"result": False, ERR_EMPTY_QUERY}
+        row without failing the batch (per-query contract, same strings
+        as search()). Pagination matches search(): the engine is asked
+        for the top-(offset+limit) and the page is sliced per query from
+        that bound — never a full-result materialization."""
+        if not isinstance(queries, dict):
+            queries = {f"q{i}": q for i, q in enumerate(queries)}
+        blank = {
+            qid for qid, q in queries.items() if not q or not q.strip()
+        }
+        live = {qid: q for qid, q in queries.items() if qid not in blank}
+        results: dict[str, Any] = {
+            qid: {"result": False, "error": ERR_EMPTY_QUERY} for qid in blank
+        }
+        if live:
+            try:
+                eng = self._get_engine()
+            except AnalysisException:
+                return {"result": False, "error": ERR_NO_INDEX,
+                        "is_indexing": self.is_indexing()}
+            ids = eng.search_many(
+                live, k=offset + limit, mode=mode, conjunctive=conjunctive
+            )
+            joined = eng.documents.join(F.broadcast(ids), "doc_id")
+            if with_snippets:
+                from .functions.analyzer import analyze_text
+                from .functions.snippet import make_snippet
+
+                q_lemmas = {
+                    qid: set(analyze_text(q)) for qid, q in live.items()
+                }
+
+                @F.pandas_udf("string")
+                def snippet_udf(qids, texts):  # type: ignore[no-untyped-def]
+                    import pandas as pd
+
+                    return pd.Series(
+                        [
+                            make_snippet(t, q_lemmas[qid])
+                            for qid, t in zip(qids, texts)
+                        ]
+                    )
+
+                joined = joined.withColumn(
+                    "snippet", snippet_udf(F.col("query_id"), F.col("text"))
+                )
+            else:
+                joined = joined.withColumn(
+                    "snippet", F.lit(None).cast("string")
+                )
+            rows = joined.select(
+                "query_id", "doc_id", "conv_id", "turn_idx", "score",
+                "snippet",
+            ).collect()
+            by_query: dict[str, list[Any]] = {qid: [] for qid in live}
+            for r in rows:
+                by_query[r["query_id"]].append(r)
+            for qid, rs in by_query.items():
+                rs.sort(key=lambda r: (-r["score"], r["doc_id"]))
+                page = rs[offset:offset + limit]
+                results[qid] = {
+                    "result": True,
+                    "count": len(page),
+                    "data": [
+                        {
+                            "doc_id": r["doc_id"],
+                            "conv_id": r["conv_id"],
+                            "turn_idx": r["turn_idx"],
+                            "relevance": r["score"],
+                            "snippet": r["snippet"],
+                        }
+                        for r in page
+                    ],
+                }
+        return {"result": True, "results": results}
+
     # -- GET /api/statistics ----------------------------------------------
     def statistics(self) -> dict[str, Any]:
         """Totals + per-partition build state (StatisticsServiceImpl.java:33-51:

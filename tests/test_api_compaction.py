@@ -49,6 +49,51 @@ def test_search_no_results(spark, api):
     assert out == {"result": True, "count": 0, "data": []}
 
 
+def test_search_many_envelope_matches_single(spark, api):
+    """Batched endpoint: one Spark job, per-query reference envelope,
+    each query's page identical to the sequential search() on it."""
+    qs = {"a": "query index", "b": "token stream"}
+    out = api.search_many(qs, limit=5)
+    assert out["result"]
+    assert set(out["results"]) == {"a", "b"}
+    for qid, q in qs.items():
+        single = api.search(q, limit=5)
+        batch = out["results"][qid]
+        assert batch["result"] and batch["count"] == single["count"]
+        assert [d["doc_id"] for d in batch["data"]] == [
+            d["doc_id"] for d in single["data"]
+        ]
+        assert [d["relevance"] for d in batch["data"]] == [
+            d["relevance"] for d in single["data"]
+        ]
+        assert all("<b>" in d["snippet"] for d in batch["data"])
+
+
+def test_search_many_pagination(spark, api):
+    full = api.search_many({"a": "query index"}, limit=6)["results"]["a"]
+    page = api.search_many({"a": "query index"}, offset=3, limit=3)
+    got = page["results"]["a"]
+    assert got["count"] == 3
+    assert [d["doc_id"] for d in got["data"]] == [
+        d["doc_id"] for d in full["data"][3:6]
+    ]
+
+
+def test_search_many_blank_query_is_per_query_error(spark, api):
+    out = api.search_many({"good": "query", "bad": "   "})
+    assert out["result"]
+    assert out["results"]["bad"] == {
+        "result": False, "error": ERR_EMPTY_QUERY,
+    }
+    assert out["results"]["good"]["result"]
+
+
+def test_search_many_before_first_build(spark, tmp_path):
+    a = EngineAPI(spark, str(tmp_path / "noidx"))
+    out = a.search_many({"a": "query"})
+    assert out["result"] is False and "error" in out
+
+
 def test_statistics(spark, api):
     st = api.statistics()
     tot = st["statistics"]["total"]

@@ -65,6 +65,16 @@ def main() -> None:
     )
     show("prefix search (classic plan over expanded terms)",
          eng.search_prefix("s", max_expansions=1024))
+    show(
+        "ANN bucketed probe scan (PartitionFilters: bucket IN 9 probes "
+        "over the hive-partitioned embeddings layout — 9/256 dirs read)",
+        EQ.q_ann_bucketed(spark, sf_dir),
+    )
+    show(
+        "indexed phrase search (candidate-first: index scans + residual "
+        "filter on the k-bounded join; no full-corpus re-analysis)",
+        eng.search_phrase(" ".join(EQ.PHRASE_TERMS), k=10),
+    )
     spark.stop()
 
 
