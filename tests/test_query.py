@@ -465,6 +465,29 @@ def test_maxscore_auto_routes_on_hot_disjunctive(engine):
     assert eng.last_maxscore_stats is not None  # routed through MaxScore
 
 
+def test_maxscore_autoroute_bails_on_flat_bounds(engine, oracle_idx):
+    """An AUTO-routed MaxScore query on a corpus whose bucket ceilings
+    are near-uniform (nothing for any tau to prune) must bail back to
+    the classic plan after the grid pass — paying only the small agg,
+    never the seed decode — and stay exact. A FORCED use_maxscore=True
+    on the same query must still run the full plan (no bailout key)."""
+    eng = SearchEngine(engine.spark, engine.index_dir)
+    eng.BLOCKMAX_MIN_POSTINGS = 1
+    eng.MAXSCORE_BAILOUT_P50 = 0.0  # any distribution reads as flat
+    got = eng.search_ids("query index", k=10, conjunctive=False).toPandas()
+    st = eng.last_maxscore_stats
+    assert st is not None and st.get("bailout") is True
+    assert 0.0 < st["p50_over_max"] <= 1.0 and st["buckets_total"] > 0
+    exp = oracle_search(oracle_idx, "query index", k=10, conjunctive=False)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+    # forced: full plan even under the same shadowed threshold
+    eng.search_ids(
+        "query index", k=10, conjunctive=False, use_maxscore=True
+    ).collect()
+    assert "bailout" not in eng.last_maxscore_stats
+
+
 # ---------------------------------------------------------------------------
 # Indexed candidate-first phrase search
 # ---------------------------------------------------------------------------
