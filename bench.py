@@ -903,6 +903,57 @@ def _mp_encode_work(paths) -> int:
     return n
 
 
+def _probe_mp_write(nproc: int) -> float:
+    """Spark-free control for the PARQUET-WRITE workload: each pool
+    worker reads a disjoint set of real staging parquet files and
+    REWRITES them (snappy, same codec Spark uses) to a tmpfs scratch
+    dir — i.e. the write half of a build stage minus Spark's envelope.
+    Its N->4N efficiency is the ceiling this box grants parallel
+    pyarrow parquet I/O; the documents/staging/term_stats write stages
+    must be read against it."""
+    import multiprocessing as mp
+    import shutil as sh
+
+    staging = Path(f"{SCALE_DIR}/idx_16/_staging_postings_raw")
+    if not staging.exists():
+        staging = Path(f"{SCALE_DIR}/idx_4/_staging_postings_raw")
+    files = sorted(str(p) for p in staging.glob("part_id=*/*.parquet"))
+    if not files:
+        raise SystemExit(
+            "no staging parquet on tmpfs — run `python bench.py --scaling` "
+            "(or one --scale-one leg) first to materialize an index"
+        )
+    scratch = Path(f"{SCALE_DIR}/_mp_write_scratch")
+    sh.rmtree(scratch, ignore_errors=True)
+    scratch.mkdir(parents=True)
+    shards = [files[i::4 * nproc] for i in range(4 * nproc)]
+    shards = [(i, s, str(scratch)) for i, s in enumerate(shards) if s]
+    with mp.Pool(nproc) as pool:
+        pool.map(_mp_warm, range(nproc))
+        pool.map(_mp_write_work, shards[:nproc])  # warm page cache
+        t0 = time.time()
+        res = pool.map(_mp_write_work, shards)
+        sec = time.time() - t0
+    assert sum(res) > 0
+    sh.rmtree(scratch, ignore_errors=True)
+    return sec
+
+
+def _mp_write_work(arg) -> int:
+    import pyarrow.parquet as pq
+
+    i, paths, scratch = arg
+    n = 0
+    for rep in range(8):  # stretch the kernel past timer/fork noise
+        for j, p in enumerate(paths):
+            t = pq.read_table(p)
+            pq.write_table(
+                t, f"{scratch}/s{i}_{j}.parquet", compression="snappy"
+            )
+            n += t.num_rows
+    return n
+
+
 def _mp_warm(_):
     from search_engine_spark.functions.analyzer import analyze_series  # noqa
 
@@ -977,12 +1028,34 @@ def run_attrib(pair=(4, 16)) -> dict:
     )
     out["stages"] = {c: fb[c].get("stages", {}) for c in pair}
 
-    # Spark-free hardware ceiling on the SAME pair (matched control)
+    # Spark-free hardware ceilings on the SAME pair (matched controls):
+    # analyzer hot loop (compute), posting-encode kernel (byte-scatter /
+    # memory bandwidth), parquet read+rewrite (pyarrow I/O) — the latter
+    # two need the staging files the full-build runs just materialized
     mp_sec = {c: min(_probe_mp(c) for _ in range(2)) for c in pair}
     out["mp_sec"] = {c: round(mp_sec[c], 2) for c in pair}
     out["mp_efficiency"] = round((mp_sec[lo] / mp_sec[hi]) / (hi / lo), 3)
+    enc_sec = {c: min(_probe_mp_encode(c) for _ in range(2)) for c in pair}
+    out["encode_control_sec"] = {c: round(enc_sec[c], 2) for c in pair}
+    out["encode_control_eff"] = round(
+        (enc_sec[lo] / enc_sec[hi]) / (hi / lo), 3
+    )
+    wr_sec = {c: min(_probe_mp_write(c) for _ in range(2)) for c in pair}
+    out["write_control_sec"] = {c: round(wr_sec[c], 2) for c in pair}
+    out["write_control_eff"] = round(
+        (wr_sec[lo] / wr_sec[hi]) / (hi / lo), 3
+    )
     _write_attrib_md(out)
     return out
+
+
+def _stage_control(label: str, out: dict) -> tuple[str, float] | None:
+    """Matched Spark-free control for a profiled build stage."""
+    if "encode" in label:
+        return ("encode kernel", out.get("encode_control_eff"))
+    if "write" in label:
+        return ("parquet write", out.get("write_control_eff"))
+    return None
 
 
 def _write_attrib_md(out: dict) -> None:
@@ -1016,10 +1089,14 @@ def _write_attrib_md(out: dict) -> None:
         "",
         "Per-stage wall seconds inside the profiled full builds (stages",
         "overlap by design — docs/staging writes run concurrently with",
-        "stats/encode — so columns need not sum to the total):",
+        "stats/encode — so columns need not sum to the total). Each stage",
+        "is normalized to its MATCHED Spark-free control on the same",
+        "pair; stages without a control get an Amdahl decomposition",
+        "instead (implied serial seconds from t = s + p/N):",
         "",
-        f"| stage | local[{lo}] | local[{hi}] | stage efficiency |",
-        "|---|---|---|---|",
+        f"| stage | local[{lo}] | local[{hi}] | eff | control (eff) |"
+        " eff/control | implied serial s |",
+        "|---|---|---|---|---|---|---|",
     ]
     stages_lo = out["stages"].get(lo) or out["stages"].get(str(lo), {})
     stages_hi = out["stages"].get(hi) or out["stages"].get(str(hi), {})
@@ -1027,8 +1104,23 @@ def _write_attrib_md(out: dict) -> None:
         a, b = stages_lo[label], stages_hi.get(label)
         if b is None:
             continue
+        e = eff(a, b)
+        ctl = _stage_control(label, out)
+        if ctl and ctl[1]:
+            name, ceff = ctl
+            ctl_cell = f"{name} ({ceff:.3f})"
+            ratio_cell = f"**{e / ceff:.2f}**"
+            serial_cell = "—"
+        else:
+            # t = s + p/N  =>  p = (t_lo - t_hi) / (1/lo - 1/hi)
+            p = (a - b) / (1.0 / lo - 1.0 / hi)
+            s = max(0.0, a - p / lo)
+            ctl_cell = "— (fixed-cost)"
+            ratio_cell = "—"
+            serial_cell = f"{s:.1f}"
         lines.append(
-            f"| {label} | {a:.1f} | {b:.1f} | {eff(a, b):.3f} |"
+            f"| {label} | {a:.1f} | {b:.1f} | {e:.3f} |"
+            f" {ctl_cell} | {ratio_cell} | {serial_cell} |"
         )
     lines += [
         "",
@@ -1050,6 +1142,20 @@ def _write_attrib_md(out: dict) -> None:
             f"{lo} procs vs {out['mp_sec'][hi]:.1f} s at {hi} procs —",
             f"**efficiency {out['mp_efficiency']:.3f}**, the ceiling this",
             "box grants embarrassingly-parallel work on the same pair.",
+            "",
+        ]
+    if "encode_control_eff" in out:
+        lines += [
+            f"Encode-kernel control (`--probe-mp-encode`, real staging",
+            f"rows through the exact partition encoder):"
+            f" {out['encode_control_sec'][lo]:.1f} ->"
+            f" {out['encode_control_sec'][hi]:.1f} s ="
+            f" **{out['encode_control_eff']:.3f}**."
+            f" Parquet-write control (`--probe-mp-write`, pyarrow"
+            f" read+rewrite of the same files):"
+            f" {out['write_control_sec'][lo]:.1f} ->"
+            f" {out['write_control_sec'][hi]:.1f} s ="
+            f" **{out['write_control_eff']:.3f}**.",
             "",
         ]
     lines += [ATTRIB_END]
@@ -1313,6 +1419,8 @@ def main() -> None:
                     help="stage-A isolation + per-stage attribution table")
     ap.add_argument("--probe-mp", type=int, default=None,
                     help="Spark-free analyzer probe with N processes")
+    ap.add_argument("--probe-mp-write", type=int, default=None,
+                    help="Spark-free parquet read+rewrite control at N procs")
     ap.add_argument("--probe-mp-encode", type=int, default=None,
                     help="Spark-free stage-C encode-kernel probe, N procs")
     ap.add_argument("--scale-query-one", type=int, default=None,
@@ -1354,6 +1462,9 @@ def main() -> None:
     elif args.probe_mp_encode is not None:
         print(json.dumps({"nproc": args.probe_mp_encode,
                           "sec": round(_probe_mp_encode(args.probe_mp_encode), 2)}))
+    elif args.probe_mp_write is not None:
+        print(json.dumps({"nproc": args.probe_mp_write,
+                          "sec": round(_probe_mp_write(args.probe_mp_write), 2)}))
     elif args.scale_query_one is not None:
         _ensure_scaling_corpus()
         print(json.dumps(_scaling_query(args.scale_query_one)))
