@@ -980,6 +980,43 @@ LIMIT {k}
 """
 
 
+def ensure_pos_index(spark: SparkSession, sf_dir: str) -> str:
+    """A second cached index built with store_positions=True (tagged dir;
+    the plain-index cache stays untouched) — the positional-phrase gate
+    entry runs against it."""
+    out = _tagged_index_dir(sf_dir, tag="pos")
+    build_index(
+        spark,
+        documents_as_transcripts(_docs(spark, sf_dir)),
+        out,
+        resume=True,
+        store_positions=True,
+    )
+    return out
+
+
+def q_engine_phrase_pos_topk(spark, sf_dir):
+    """Indexed phrase search over a store_positions=True index: same
+    candidate-first composition as q_engine_phrase_topk, but the phrase
+    test is evaluated FROM THE INDEX — the phrase lemmas' position
+    streams decode from the same range-pruned blocks and the contiguity
+    check runs as a JVM higher-order array expression; the doc store is
+    never scanned (operators/query.py:search_phrase via_positions path;
+    the positional-index plan SURVEY.md §7.3 trades ~index size for).
+    Shares q_engine_phrase_topk's oracle: the two plans must be
+    bit-identical, so a green row pins the positions codec roundtrip,
+    the pivot/contiguity expression, and the score path together."""
+    eng = SearchEngine(spark, ensure_pos_index(spark, sf_dir))
+    assert eng.has_positions
+    ids = eng.search_phrase(" ".join(PHRASE_TERMS), k=TOPK)
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_engine_prefix_topk(spark, sf_dir):
     """Dictionary prefix expansion (J3 surface) + disjunctive BM25 through
     the REAL engine: search_prefix expands PREFIX_QUERY against
@@ -3312,6 +3349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_batch_topk": q_engine_batch_topk,
     "engine_prefix_topk": q_engine_prefix_topk,
     "engine_phrase_topk": q_engine_phrase_topk,
+    "engine_phrase_pos_topk": q_engine_phrase_pos_topk,
     "phrase_match": q_phrase_match,
     "proximity_match": q_proximity_match,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -3401,6 +3439,9 @@ ORACLES: dict[str, str] = {
     "engine_prefix_topk": _prefix_topk_sql(PREFIX_QUERY),
     # indexed candidate-first phrase search == conjunctive BM25 ∩ phrase
     "engine_phrase_topk": _engine_phrase_sql(),
+    # positional-index plan, same contract: bit-identical to the residual
+    # plan, so the same derived SQL oracle pins it
+    "engine_phrase_pos_topk": _engine_phrase_sql(),
     "phrase_match": _sql_phrase_match(),
     "proximity_match": _sql_proximity_match(),
     # P4 scope: global stats, candidates restricted to the scoped sources

@@ -161,6 +161,34 @@ def varbyte_decode_groups(bufs) -> tuple[np.ndarray, np.ndarray]:
     return out, counts
 
 
+def decode_positions_grouped(
+    pos_bufs, tfs_flat: np.ndarray
+) -> np.ndarray:
+    """Grouped decode of per-block POSITION streams (store_positions=True
+    builds). Each block's stream is the concatenation of its rows'
+    position lists, delta-encoded WITHIN each row (first position
+    absolute, the rest gaps) — the row boundaries are the block's tf
+    values, so the caller passes the already-decoded per-row tfs
+    concatenated in the same block order. Returns the absolute positions
+    as one flat int64 array, segmented by ``tfs_flat`` (row i owns the
+    next tfs_flat[i] values). Same segmented-cumsum-with-resets shape as
+    decode_postings_grouped, with rows instead of blocks as segments."""
+    gaps, _ = varbyte_decode_groups(pos_bufs)
+    tfs = np.asarray(tfs_flat, dtype=np.int64)
+    if gaps.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if int(tfs.sum()) != int(gaps.size):
+        raise ValueError(
+            f"positions stream length {gaps.size} != sum(tf) {tfs.sum()}"
+        )
+    s = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    nz = tfs > 0
+    base = np.zeros(tfs.size, dtype=np.uint64)
+    base[nz] = s[starts[nz]] - gaps[starts[nz]]
+    return (s - np.repeat(base, tfs)).astype(np.int64)
+
+
 def decode_postings_grouped(
     ids_bufs, tfs_bufs
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

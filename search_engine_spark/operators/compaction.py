@@ -58,6 +58,13 @@ def compact_index(
     manifest = _read_manifest(out_dir)
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         raise ValueError(f"no complete index at {out_dir}")
+    if manifest["stage_docs"].get("store_positions", False):
+        raise ValueError(
+            f"index at {out_dir} stores positions (store_positions=True): "
+            "compaction re-encodes postings WITHOUT the positions stream "
+            "and would silently strip indexed phrase support — rebuild "
+            "with build_index(resume=False, store_positions=True) instead."
+        )
     from .incremental import require_staging
 
     require_staging(out_dir, manifest)

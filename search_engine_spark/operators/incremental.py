@@ -331,6 +331,15 @@ def incremental_update(
             "tokenize differently than the existing postings — rebuild "
             "with build_index(resume=False)"
         )
+    if manifest["stage_docs"].get("store_positions", False):
+        raise ValueError(
+            f"index at {out_dir} stores positions (store_positions=True): "
+            "incremental updates are not supported on a positions index — "
+            "the merge path writes position-less posting blocks that the "
+            "positions phrase reader would silently skip. Rebuild with "
+            "build_index(resume=False, store_positions=True) to fold new "
+            "turns in (the documented positions trade)."
+        )
     version = index_version or manifest["stage_docs"].get("index_version", "v1")
     n_buckets = resolve_n_buckets(spark, out_dir, n_buckets)
     require_staging(out_dir, manifest)

@@ -257,7 +257,10 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schemas.BUILD_MANIFEST)
 
 
-def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
+def _make_part_encoder(
+    n_docs: int, avgdl: float, block_size: int,
+    store_positions: bool = False,
+):
     """Batch-level posting encoder. Input frames hold (term_id, salt)-
     CONTIGUOUS runs sorted by doc_id within each run (encode_salted's
     arrow_encode builds them from collect_list groups with one lexsort);
@@ -285,7 +288,20 @@ def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
     (score <= block_max_score) relies on."""
 
     def encode(batches):
-        chunks = [c for c in batches if len(c)]
+        # store_positions batches arrive as (pdf, pos_flat) tuples: the
+        # positions ride as ONE flat int64 array aligned with the frame's
+        # rows via tf (row i owns the next tf[i] values) — never as a
+        # per-row object column (1M tiny array objects would dominate
+        # the stage)
+        chunks = []
+        pos_chunks = []
+        for c in batches:
+            if isinstance(c, tuple):
+                c, pflat = c
+                if len(c):
+                    pos_chunks.append(np.asarray(pflat, dtype=np.int64))
+            if len(c):
+                chunks.append(c)
         if not chunks:
             return
         pdf = (
@@ -293,6 +309,15 @@ def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
             if len(chunks) > 1
             else chunks[0]
         )
+        pos_flat = (
+            np.concatenate(pos_chunks)
+            if len(pos_chunks) > 1
+            else (pos_chunks[0] if pos_chunks else None)
+        )
+        if store_positions and pos_flat is None:
+            raise ValueError(
+                "store_positions encoder got a frame without positions"
+            )
         ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
@@ -343,26 +368,47 @@ def _make_part_encoder(n_docs: int, avgdl: float, block_size: int):
         denom = tfs + K1 * (1 - B + B * dls / avgdl)
         bscores = idf_g[grp_of_row] * (tfs * (K1 + 1)) / denom
 
-        yield pd.DataFrame(
-            {
-                "term_id": terms[starts],
-                "block_id": salts[starts] * BLOCKS_PER_SALT_CAP + local_block,
-                "n": (ends - starts).astype(np.int32),
-                "doc_ids": varbyte_encode_sliced(deltas, starts),
-                "tfs": varbyte_encode_sliced(tfs.astype(np.uint64), starts),
-                "dls": varbyte_encode_sliced(dls.astype(np.uint64), starts),
-                "first_doc_id": ids[starts],
-                "last_doc_id": ids[ends - 1],
-                "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
-                # min_dl feeds the query-side drift-immune block bound
-                # (query.py:_block_bound_col): f(max_tf, max(min_dl,
-                # max_tf)) upper-bounds every score in the block with
-                # CURRENT stats, where the stored block_max_score freezes
-                # encode-time stats
-                "min_dl": np.minimum.reduceat(dls, starts).astype(np.int32),
-                "block_max_score": np.maximum.reduceat(bscores, starts),
-            },
-        )
+        out = {
+            "term_id": terms[starts],
+            "block_id": salts[starts] * BLOCKS_PER_SALT_CAP + local_block,
+            "n": (ends - starts).astype(np.int32),
+            "doc_ids": varbyte_encode_sliced(deltas, starts),
+            "tfs": varbyte_encode_sliced(tfs.astype(np.uint64), starts),
+            "dls": varbyte_encode_sliced(dls.astype(np.uint64), starts),
+            "first_doc_id": ids[starts],
+            "last_doc_id": ids[ends - 1],
+            "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+            # min_dl feeds the query-side drift-immune block bound
+            # (query.py:_block_bound_col): f(max_tf, max(min_dl,
+            # max_tf)) upper-bounds every score in the block with
+            # CURRENT stats, where the stored block_max_score freezes
+            # encode-time stats
+            "min_dl": np.minimum.reduceat(dls, starts).astype(np.int32),
+            "block_max_score": np.maximum.reduceat(bscores, starts),
+        }
+        if store_positions:
+            # per-row position lists live flattened in pos_flat (row i
+            # owns tf[i] values, already sorted ascending); delta within
+            # each row (first absolute), then slice the stream at BLOCK
+            # boundaries — block start offsets in flat-position space are
+            # the tf prefix sums at the block-start rows
+            tf_prefix = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(tfs, out=tf_prefix[1:])
+            if int(tf_prefix[-1]) != int(pos_flat.size):
+                raise ValueError(
+                    f"positions length {pos_flat.size} != sum(tf) "
+                    f"{tf_prefix[-1]}"
+                )
+            pdeltas = np.empty(pos_flat.size, dtype=np.uint64)
+            if pos_flat.size:
+                pdeltas[0] = np.uint64(pos_flat[0])
+                pdeltas[1:] = np.diff(pos_flat).astype(np.uint64)
+                row_starts = tf_prefix[:-1]
+                pdeltas[row_starts] = pos_flat[row_starts].astype(np.uint64)
+            out["positions"] = varbyte_encode_sliced(
+                pdeltas, tf_prefix[starts]
+            )
+        yield pd.DataFrame(out)
 
     return encode
 
@@ -381,6 +427,7 @@ def prepare_salted(
     part_size: int,
     salt_budget: int,
     hash_ids: bool,
+    store_positions: bool = False,
 ) -> DataFrame:
     """Staging slice -> slim encode input: broadcast-join df, range-salt
     hot terms (df > budget -> contiguous doc_id subranges; merge across
@@ -390,7 +437,7 @@ def prepare_salted(
     n_salts = F.greatest(
         F.lit(1), F.ceil(F.col("df") / F.lit(salt_budget)).cast("long")
     )
-    return joined.select(
+    cols = [
         _term_id_col(hash_ids).alias("term_id"),
         (
             ((F.col("doc_id") - F.lit(part_lo)) * n_salts) / F.lit(part_size)
@@ -399,7 +446,10 @@ def prepare_salted(
         F.col("tf").cast("int").alias("tf"),
         F.col("dl"),
         F.col("df").cast("int").alias("df"),
-    )
+    ]
+    if store_positions:
+        cols.append(F.col("pos"))
+    return joined.select(*cols)
 
 
 def encode_salted(
@@ -408,6 +458,7 @@ def encode_salted(
     n_docs: int,
     avgdl: float,
     block_size: int,
+    store_positions: bool = False,
 ) -> DataFrame:
     """Aggregate ``salted`` (term_id, salt, doc_id, tf, dl, df rows) into
     ONE list-typed row per (term_id, salt) group (collect_list — map-side
@@ -440,18 +491,19 @@ def encode_salted(
     out_schema = T.StructType(
         [T.StructField("term_id", T.LongType() if id_type == "bigint"
                        else T.StringType(), False)]
-        + [f for f in schemas.POSTINGS.fields
+        + [f for f in schemas.postings_schema(store_positions).fields
            if f.name not in ("term", "bucket")]
     )
+    ps_fields = ["doc_id", "tf", "dl"] + (["pos"] if store_positions else [])
     grouped = (
         salted.repartition(n_enc, "term_id", "salt")
         .groupBy("term_id", "salt")
         .agg(
             F.first("df").alias("df"),
-            F.collect_list(F.struct("doc_id", "tf", "dl")).alias("ps"),
+            F.collect_list(F.struct(*ps_fields)).alias("ps"),
         )
     )
-    encode = _make_part_encoder(n_docs, avgdl, block_size)
+    encode = _make_part_encoder(n_docs, avgdl, block_size, store_positions)
 
     def arrow_encode(batches):
         import pyarrow as pa
@@ -487,7 +539,33 @@ def encode_salted(
                     )[order],
                 }
             )
-            for out in encode(iter([pdf])):
+            if store_positions:
+                # gather the per-row position lists into ONE flat array
+                # in the sorted row order — all vectorized (no per-row
+                # Python objects cross into the encoder)
+                pos_arr = flat.field("pos")
+                if isinstance(pos_arr, pa.ChunkedArray):
+                    pos_arr = pos_arr.combine_chunks()
+                plens = pc.list_value_length(pos_arr).to_numpy().astype(
+                    np.int64
+                )
+                pvals = pos_arr.flatten().to_numpy().astype(np.int64)
+                poffs = np.zeros(plens.size + 1, dtype=np.int64)
+                np.cumsum(plens, out=poffs[1:])
+                lens_o = plens[order]
+                starts_o = poffs[:-1][order]
+                out_total = int(lens_o.sum())
+                out_starts = np.zeros(lens_o.size, dtype=np.int64)
+                np.cumsum(lens_o[:-1], out=out_starts[1:])
+                idx = (
+                    np.arange(out_total, dtype=np.int64)
+                    - np.repeat(out_starts, lens_o)
+                    + np.repeat(starts_o, lens_o)
+                )
+                batch_in = (pdf, pvals[idx])
+            else:
+                batch_in = pdf
+            for out in encode(iter([batch_in])):
                 # mapInArrow requires exact Arrow types (no pandas
                 # coercion): block_id is int32 in the POSTINGS schema
                 out["block_id"] = out["block_id"].astype("int32")
@@ -501,6 +579,7 @@ def _attach_terms(
     term_stats: DataFrame,
     n_buckets: int,
     hash_ids: bool,
+    store_positions: bool = False,
 ) -> DataFrame:
     """Restore (term, bucket) on the encoded BLOCK rows (~n/block_size of
     the posting rows) via a broadcast dictionary join, then re-sort each
@@ -514,7 +593,10 @@ def _attach_terms(
     return (
         encoded.join(F.broadcast(dict_df), "term_id")
         .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-        .select(*[f.name for f in schemas.POSTINGS.fields])
+        .select(
+            *[f.name
+              for f in schemas.postings_schema(store_positions).fields]
+        )
         .sortWithinPartitions("bucket", "term", "block_id")
     )
 
@@ -545,12 +627,22 @@ def build_index(
     resume: bool = True,
     fail_after_parts: int | None = None,  # test hook: simulate a killed job
     part_concurrency: int = 2,  # concurrent part jobs (Spark schedules both)
+    store_positions: bool = False,
 ) -> IndexBuildResult:
     """Full index build with per-part checkpoint/resume. ``n_buckets``
     defaults to 16 for fresh builds; a RESUMED build adopts the value
     persisted in corpus_stats (remaining parts must land in the same
     bucket->directory mapping as the committed ones) and refuses an
-    explicit caller mismatch."""
+    explicit caller mismatch.
+
+    ``store_positions=True`` widens the index with per-posting token
+    positions (staging carries a sorted pos array per (doc, term);
+    postings gain a delta-varbyte ``positions`` stream per block — see
+    schemas.postings_schema), enabling phrase queries evaluated entirely
+    from the index (SearchEngine.search_phrase picks the positions path
+    automatically). The documented trade: larger postings (measured in
+    BENCH.md) and no incremental updates — incremental_update and
+    compact_index refuse a positions index loudly; rebuild to merge."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest = _read_manifest(out_dir) if resume else {}
@@ -570,6 +662,14 @@ def build_index(
                 f"current analyzer is {ANALYZER_VERSION}: resume would "
                 "serve queries analyzed differently than the committed "
                 "postings — rebuild with build_index(resume=False)"
+            )
+        built_pos = bool(manifest["stage_docs"].get("store_positions", False))
+        if built_pos != store_positions:
+            raise ValueError(
+                f"index at {out_dir} was built with store_positions="
+                f"{built_pos}, caller requested {store_positions}: resumed "
+                "parts would write a different postings schema than the "
+                "committed ones — rebuild with build_index(resume=False)"
             )
 
     docs_path = str(out / "documents")
@@ -676,17 +776,35 @@ def build_index(
             F.max("dl").cast("double").alias("max_tf_sum"),
         )
 
-        exploded = (
-            with_ids.select(
-                "doc_id", terms_col(F.col("text")).alias("terms")
+        terms_df = with_ids.select(
+            "doc_id", terms_col(F.col("text")).alias("terms")
+        ).withColumn("dl", F.size("terms"))
+        if store_positions:
+            # positions = 0-based token index in the analyzed lemma array
+            # (the same coordinate space phrase_count_col checks), one
+            # SORTED array per (doc, term) — collect_list order is not
+            # guaranteed across the partial agg, sort_array pins it
+            exploded = (
+                terms_df.select(
+                    "doc_id", "dl",
+                    F.posexplode("terms").alias("pos", "term"),
+                )
+                .groupBy("term", "doc_id", "dl")
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("pos"),
+                )
             )
-            .withColumn("dl", F.size("terms"))
-            .select("doc_id", "dl", F.explode("terms").alias("term"))
-            .groupBy("term", "doc_id", "dl")  # dl functionally dep. on doc_id
-            .agg(F.count("*").alias("tf"))
-            .withColumn(
-                "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
+        else:
+            exploded = (
+                terms_df
+                .select("doc_id", "dl", F.explode("terms").alias("term"))
+                # dl functionally dep. on doc_id
+                .groupBy("term", "doc_id", "dl")
+                .agg(F.count("*").alias("tf"))
             )
+        exploded = exploded.withColumn(
+            "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
         )
         stats_ob = Observation(f"stats_{int(t0)}")
         fill_ob = Observation(f"fill_{int(t0)}")
@@ -832,6 +950,7 @@ def build_index(
                     # they join against — incremental_update refuses an
                     # index stamped with a different analyzer version
                     "analyzer_version": ANALYZER_VERSION,
+                    "store_positions": store_positions,
                     "n_docs": n_docs,
                     "part_size": part_size,
                 },
@@ -965,7 +1084,12 @@ def build_index(
             # read (query.py:83-115).
             if "UNABLE_TO_INFER_SCHEMA" not in str(staging_err):
                 raise
-            staging_df = spark.createDataFrame([], schema=schemas.STAGING)
+            empty_schema = T.StructType(
+                list(schemas.STAGING.fields)
+                + ([T.StructField("pos", T.ArrayType(T.IntegerType()), False)]
+                   if store_positions else [])
+            )
+            staging_df = spark.createDataFrame([], schema=empty_schema)
         actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
         todo = [
             p for p in range(actual_parts)
@@ -981,13 +1105,16 @@ def build_index(
             part_lo = p * part_size
             raw_p = staging_df.filter(F.col("part_id") == p)
             salted = prepare_salted(
-                raw_p, term_stats, part_lo, part_size, salt_budget, hash_ids
+                raw_p, term_stats, part_lo, part_size, salt_budget, hash_ids,
+                store_positions=store_positions,
             )
             encoded = _attach_terms(
-                encode_salted(salted, spark, n_docs, avgdl, block_size),
+                encode_salted(salted, spark, n_docs, avgdl, block_size,
+                              store_positions=store_positions),
                 term_stats,
                 n_buckets,
                 hash_ids,
+                store_positions=store_positions,
             )
             part_dir = f"{postings_path}/part_id={p}"
             # lineage metrics piggy-back on the write action (Observation) —

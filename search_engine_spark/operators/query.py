@@ -136,6 +136,9 @@ class SearchEngine:
         self._stored_bmx_valid: bool | None = None
         # plan-audit breadcrumbs from the last _maxscore_topk run
         self.last_maxscore_stats: dict | None = None
+        # store_positions=True builds widen postings with the per-block
+        # positions stream; search_phrase picks the indexed path off it
+        self.has_positions = "positions" in self.postings.columns
 
     VALID_MODES = ("bm25", "relevance_ref")
 
@@ -1138,8 +1141,68 @@ class SearchEngine:
         return self._classic_topk(infos, k=k, mode=mode, conjunctive=False)
 
     # ------------------------------------------------------------------
+    def _positions_rows(
+        self,
+        infos: list[TermInfo],
+        ranges: list[tuple[int, int]] | None,
+    ) -> DataFrame:
+        """(doc_id, term, positions) rows decoded from the positions
+        stream of the given terms' posting blocks (store_positions=True
+        builds) — bucket-pruned and range-pruned exactly like
+        candidate_scores. positions are the 0-based token indexes in the
+        analyzed lemma array (the phrase_count_col coordinate space)."""
+        from ..functions.codec import (
+            decode_positions_grouped,
+            decode_postings_grouped,
+        )
+        from ..functions.spark_hash import spark_bucket
+
+        terms = [ti.term for ti in infos]
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
+        blocks = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
+            overlap = None
+            for lo, hi in ranges:
+                c = (F.col("first_doc_id") <= hi) & (
+                    F.col("last_doc_id") >= lo
+                )
+                overlap = c if overlap is None else (overlap | c)
+            blocks = blocks.filter(overlap)
+        sel = blocks.select("term", "doc_ids", "tfs", "positions")
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, tfs, n = decode_postings_grouped(
+                    pdf["doc_ids"].tolist(), pdf["tfs"].tolist()
+                )
+                pos_flat = decode_positions_grouped(
+                    pdf["positions"].tolist(), tfs
+                ).astype(np.int32)
+                offs = np.zeros(tfs.size + 1, dtype=np.int64)
+                np.cumsum(tfs, out=offs[1:])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "term": np.repeat(pdf["term"].to_numpy(), n),
+                        "positions": [
+                            pos_flat[offs[i]:offs[i + 1]]
+                            for i in range(tfs.size)
+                        ],
+                    }
+                )
+
+        return sel.mapInPandas(
+            gen, schema="doc_id long, term string, positions array<int>"
+        )
+
+    # ------------------------------------------------------------------
     def search_phrase(
-        self, phrase_text: str, k: int = 10, mode: str = "bm25"
+        self, phrase_text: str, k: int = 10, mode: str = "bm25",
+        via_positions: bool | None = None,
     ) -> DataFrame:
         """Indexed exact-phrase top-k, candidate-first (the composition
         PERF.md documents; positions-in-codec is explicitly traded away
@@ -1161,23 +1224,85 @@ class SearchEngine:
         A phrase lemma missing from the dictionary means no document can
         contain the phrase: empty result (the search_ids contract).
         Cite: SearchServiceImpl.java:155-168 (the candidate loop this
-        composes with); beyond-reference surface like search_prefix."""
+        composes with); beyond-reference surface like search_prefix.
+
+        On a store_positions=True index (``via_positions`` defaults to
+        the index's capability) the phrase test never touches the doc
+        store at all: the phrase lemmas' position streams are decoded
+        from the SAME range-pruned blocks, pivoted per doc, and the
+        contiguity check (exists p in pos[L0]: p+j in pos[Lj] for all j)
+        runs as a JVM higher-order array expression — the true
+        positional-index plan, at the documented ~storage cost."""
         from ..functions.analyzer import terms_col
         from ..functions.phrase import phrase_count_col
 
         self._check_mode(mode)
+        if via_positions is None:
+            via_positions = self.has_positions
+        if via_positions and not self.has_positions:
+            raise ValueError(
+                "via_positions=True requires a store_positions=True index "
+                "(postings have no positions column)"
+            )
         lemmas = analyze_text(phrase_text)  # ordered, duplicates kept
         if not lemmas:
             raise ValueError("phrase analyzes to zero lemmas")
-        infos, n_missing = self._infos_for_terms(sorted(set(lemmas)))
+        distinct = sorted(set(lemmas))
+        infos, n_missing = self._infos_for_terms(distinct)
         if n_missing:
             return self.spark.createDataFrame(
                 [], schema="doc_id long, score double"
             )
         partials = self.candidate_scores(infos, mode=mode, conjunctive=True)
         scored = self._pivot_combine(partials, len(infos), conjunctive=True)
-        docs = self.documents.select("doc_id", "text")
         ranges = self._rare_term_ranges(infos[0])
+        if via_positions and len(lemmas) > 1:
+            # indexed phrase test: decode the phrase lemmas' position
+            # streams (already range-pruned to the rarest lemma's spans),
+            # pivot to one array column per distinct lemma, keep docs
+            # where some occurrence of lemmas[0] is followed contiguously
+            # by the rest. A doc missing a lemma pivots to NULL and the
+            # exists() evaluates non-true — dropped, as conjunctive
+            # semantics require (scored already enforces it too).
+            col_of = {t: i for i, t in enumerate(distinct)}
+            pivot = self._positions_rows(infos, ranges).groupBy(
+                "doc_id"
+            ).agg(
+                *[
+                    F.max(
+                        F.when(F.col("term") == t, F.col("positions"))
+                    ).alias(f"_p{i}")
+                    for i, t in enumerate(distinct)
+                ]
+            )
+
+            def _contig(x):
+                c = None
+                for j in range(1, len(lemmas)):
+                    cj = F.array_contains(
+                        F.col(f"_p{col_of[lemmas[j]]}"), x + j
+                    )
+                    c = cj if c is None else (c & cj)
+                return c
+
+            matched = pivot.filter(
+                F.exists(F.col(f"_p{col_of[lemmas[0]]}"), _contig)
+            ).select("doc_id")
+            return (
+                scored.join(matched, "doc_id")
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        if via_positions:
+            # single-lemma phrase: presence IS the phrase test; scored is
+            # already exactly the containing docs — no positions needed
+            return (
+                scored.select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        docs = self.documents.select("doc_id", "text")
         if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
             overlap = None
             for lo, hi in ranges:

@@ -124,6 +124,23 @@ POSTINGS = T.StructType(
     ]
 )
 
+
+def postings_schema(store_positions: bool = False) -> T.StructType:
+    """POSTINGS, optionally widened with the per-block positions stream
+    (store_positions=True builds): the concatenation of each posting
+    row's token-position list, delta-encoded within the row, varbyte-
+    packed per block — decode_positions_grouped is the inverse. The
+    documented trade is index size (~2x postings bytes) for phrase
+    queries that never touch the doc store."""
+    if not store_positions:
+        return POSTINGS
+    fields = list(POSTINGS.fields)
+    return T.StructType(
+        fields[:-1]
+        + [T.StructField("positions", T.BinaryType(), False)]
+        + fields[-1:]  # bucket stays last (partition column)
+    )
+
 # build_manifest — per-partition checkpoint/lineage rows (reproduces the
 # Site status machine, model/Status.java:3-5 + IndexationServiceImpl
 # heartbeat, as required by the north rule).
