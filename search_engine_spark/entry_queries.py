@@ -1017,6 +1017,47 @@ def q_engine_phrase_pos_topk(spark, sf_dir):
     )
 
 
+def ensure_pos_incr_index(spark: SparkSession, sf_dir: str) -> str:
+    """A positions index assembled by MAINTENANCE, not one build: base
+    store_positions=True build over 80% of the corpus (doc_id % 5 != 0),
+    then incremental_update folds the remaining 20% in — the new part's
+    blocks gain the same positions stream (operators/incremental.py).
+    Replay-safe like the other tagged builds: the base build resumes off
+    its manifest, the merge batch anti-joins to a no-op."""
+    from .operators.incremental import incremental_update
+
+    out = _tagged_index_dir(sf_dir, tag="posincr")
+    docs = _docs(spark, sf_dir)
+    base = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 != 0))
+    inc = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 == 0))
+    build_index(spark, base, out, resume=True, store_positions=True)
+    incremental_update(spark, inc, out)
+    return out
+
+
+def q_engine_phrase_incr_topk(spark, sf_dir):
+    """Indexed phrase search over a positions index that was EXTENDED BY
+    incremental_update (S3/S4/J4 × the positional layout): the appended
+    part's blocks must carry the same delta-varbyte positions stream the
+    base build wrote, or the phrase reader silently skips its docs (the
+    layout-uniformity invariant the old maintenance refusal guarded by
+    fiat; operators/incremental.py now propagates it instead). Shares
+    q_engine_phrase_topk's full-corpus oracle — green iff base + merged
+    part answer phrase queries exactly like a one-shot positional build
+    of everything (positions re-encode, df recompute, and the contiguity
+    expression all included). doc ids differ between the two layouts;
+    turn_idx carries the original id, so the remap is layout-free."""
+    eng = SearchEngine(spark, ensure_pos_incr_index(spark, sf_dir))
+    assert eng.has_positions
+    ids = eng.search_phrase(" ".join(PHRASE_TERMS), k=TOPK)
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_engine_prefix_topk(spark, sf_dir):
     """Dictionary prefix expansion (J3 surface) + disjunctive BM25 through
     the REAL engine: search_prefix expands PREFIX_QUERY against
@@ -3350,6 +3391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_prefix_topk": q_engine_prefix_topk,
     "engine_phrase_topk": q_engine_phrase_topk,
     "engine_phrase_pos_topk": q_engine_phrase_pos_topk,
+    "engine_phrase_incr_topk": q_engine_phrase_incr_topk,
     "phrase_match": q_phrase_match,
     "proximity_match": q_proximity_match,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -3358,10 +3400,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bucketed": q_ann_bucketed,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
-    "embed_quantize": q_embed_quantize,
-    "ann_ivf": q_ann_ivf,
     # ---- driver window boundary (entries below are green in BOTH r2 and
     #      r3, unchanged since; rotated out per the ordering policy) ----
+    "embed_quantize": q_embed_quantize,
+    "ann_ivf": q_ann_ivf,
     "doc_stats": q_doc_stats,
     "top_terms": q_top_terms,
     "source_stats": q_source_stats,
@@ -3439,6 +3481,7 @@ ORACLES: dict[str, str] = {
     "engine_prefix_topk": _prefix_topk_sql(PREFIX_QUERY),
     # indexed candidate-first phrase search == conjunctive BM25 ∩ phrase
     "engine_phrase_topk": _engine_phrase_sql(),
+    "engine_phrase_incr_topk": _engine_phrase_sql(),
     # positional-index plan, same contract: bit-identical to the residual
     # plan, so the same derived SQL oracle pins it
     "engine_phrase_pos_topk": _engine_phrase_sql(),

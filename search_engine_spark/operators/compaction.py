@@ -58,13 +58,12 @@ def compact_index(
     manifest = _read_manifest(out_dir)
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         raise ValueError(f"no complete index at {out_dir}")
-    if manifest["stage_docs"].get("store_positions", False):
-        raise ValueError(
-            f"index at {out_dir} stores positions (store_positions=True): "
-            "compaction re-encodes postings WITHOUT the positions stream "
-            "and would silently strip indexed phrase support — rebuild "
-            "with build_index(resume=False, store_positions=True) instead."
-        )
+    # a positions index compacts positionally: staging carries the
+    # per-(doc, term) position arrays (they survive incremental appends
+    # too — incremental.py writes the same shape), so the re-encode
+    # rebuilds each part WITH its delta-varbyte positions stream and the
+    # phrase reader keeps a uniform schema across parts
+    store_pos = bool(manifest["stage_docs"].get("store_positions", False))
     from .incremental import require_staging
 
     require_staging(out_dir, manifest)
@@ -111,7 +110,7 @@ def compact_index(
         # (require_staging above already rejects it for part-ful indexes)
         if "UNABLE_TO_INFER_SCHEMA" not in str(staging_err):
             raise
-        raw = spark.createDataFrame([], schema=schemas.STAGING)
+        raw = spark.createDataFrame([], schema=schemas.staging_schema(store_pos))
     raw = raw.withColumn(
         "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
     )
@@ -125,13 +124,16 @@ def compact_index(
     def _compact_part(p: int) -> None:
         raw_p = raw.filter(F.col("part_id") == p)
         salted = prepare_salted(
-            raw_p, term_stats, p * part_size, part_size, salt_budget, hash_ids
+            raw_p, term_stats, p * part_size, part_size, salt_budget, hash_ids,
+            store_positions=store_pos,
         )
         encoded = _attach_terms(
-            encode_salted(salted, spark, n_docs, avgdl, block_size),
+            encode_salted(salted, spark, n_docs, avgdl, block_size,
+                          store_positions=store_pos),
             term_stats,
             n_buckets,
             hash_ids,
+            store_positions=store_pos,
         )
         obs = Observation(f"compact_{p}_{int(t0)}")
         encoded = encoded.observe(

@@ -331,15 +331,13 @@ def incremental_update(
             "tokenize differently than the existing postings — rebuild "
             "with build_index(resume=False)"
         )
-    if manifest["stage_docs"].get("store_positions", False):
-        raise ValueError(
-            f"index at {out_dir} stores positions (store_positions=True): "
-            "incremental updates are not supported on a positions index — "
-            "the merge path writes position-less posting blocks that the "
-            "positions phrase reader would silently skip. Rebuild with "
-            "build_index(resume=False, store_positions=True) to fold new "
-            "turns in (the documented positions trade)."
-        )
+    # a positions index propagates its layout: the new part's staging rows
+    # carry the per-(doc,term) position arrays and its posting blocks gain
+    # the same delta-varbyte positions stream the base build wrote, so the
+    # phrase reader sees a uniform schema across every part (the guard
+    # this path replaced existed because a position-less merged part would
+    # be silently skipped by the positions phrase plan)
+    store_pos = bool(manifest["stage_docs"].get("store_positions", False))
     version = index_version or manifest["stage_docs"].get("index_version", "v1")
     n_buckets = resolve_n_buckets(spark, out_dir, n_buckets)
     require_staging(out_dir, manifest)
@@ -393,12 +391,31 @@ def incremental_update(
             + list(_part_ids_under(out_dir, "postings")),
             default=-1,
         )
-        exploded = (
-            analyzed.select("doc_id", "dl", F.explode("terms").alias("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count("*").alias("tf"))
-            .withColumn("part_id", F.lit(part_new).cast("int"))
-        )
+        if store_pos:
+            # same staging shape as build_index's positions branch
+            # (index_build.py stage A): pos = 0-based token index in the
+            # analyzed lemma array, one SORTED array per (doc, term)
+            exploded = (
+                analyzed.select(
+                    "doc_id", "dl",
+                    F.posexplode("terms").alias("pos", "term"),
+                )
+                .groupBy("term", "doc_id", "dl")
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("pos"),
+                )
+                .withColumn("part_id", F.lit(part_new).cast("int"))
+            )
+        else:
+            exploded = (
+                analyzed.select(
+                    "doc_id", "dl", F.explode("terms").alias("term")
+                )
+                .groupBy("term", "doc_id", "dl")
+                .agg(F.count("*").alias("tf"))
+                .withColumn("part_id", F.lit(part_new).cast("int"))
+            )
         exploded.write.mode("append").partitionBy("part_id").parquet(staging_path)
 
         # postings for the new part (df comes from a post-merge recompute below,
@@ -420,13 +437,16 @@ def incremental_update(
         batch_span = max(1, n_new)
         hash_ids = check_hash_ids(term_stats_now)
         salted = prepare_salted(
-            raw_p, term_stats_now, base, batch_span, salt_budget, hash_ids
+            raw_p, term_stats_now, base, batch_span, salt_budget, hash_ids,
+            store_positions=store_pos,
         )
         encoded = _attach_terms(
-            encode_salted(salted, spark, docs_after, avgdl, block_size),
+            encode_salted(salted, spark, docs_after, avgdl, block_size,
+                          store_positions=store_pos),
             term_stats_now,
             n_buckets,
             hash_ids,
+            store_positions=store_pos,
         )
         obs = Observation(f"incr_part_{part_new}_{int(t0)}")
         encoded = encoded.observe(

@@ -640,9 +640,11 @@ def build_index(
     postings gain a delta-varbyte ``positions`` stream per block — see
     schemas.postings_schema), enabling phrase queries evaluated entirely
     from the index (SearchEngine.search_phrase picks the positions path
-    automatically). The documented trade: larger postings (measured in
-    BENCH.md) and no incremental updates — incremental_update and
-    compact_index refuse a positions index loudly; rebuild to merge."""
+    automatically). The documented trade is index size (measured in
+    BENCH.md); maintenance carries the layout through — incremental_update
+    and compact_index re-encode their parts WITH the positions stream, so
+    every part stays phrase-readable (resume still refuses a
+    store_positions mismatch: the flag is a build-wide layout choice)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest = _read_manifest(out_dir) if resume else {}

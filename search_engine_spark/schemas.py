@@ -64,6 +64,20 @@ STAGING = T.StructType(
     ]
 )
 
+
+def staging_schema(store_positions: bool = False) -> T.StructType:
+    """STAGING, optionally widened with the per-(doc, term) sorted token-
+    position array (store_positions=True builds) — the precursor the
+    encoder packs into the postings `positions` stream."""
+    if not store_positions:
+        return STAGING
+    fields = list(STAGING.fields)
+    return T.StructType(
+        fields[:-1]
+        + [T.StructField("pos", T.ArrayType(T.IntegerType()), False)]
+        + fields[-1:]  # part_id stays last (partition column)
+    )
+
 TERM_STATS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),

@@ -2,8 +2,10 @@
 
 The positions stream is the documented ~storage-for-phrase-speed trade
 (SURVEY.md §7.3 / PERF.md): phrase queries evaluate entirely from the
-index (no doc-store scan), incremental/compaction refuse loudly.
-"""
+index (no doc-store scan). Maintenance propagates the layout — an
+incremental batch's new part and a compaction's re-encoded parts carry
+the same positions stream, so the phrase reader keeps a uniform schema
+across every part (round-trip parity tests below)."""
 
 from __future__ import annotations
 
@@ -170,17 +172,108 @@ def test_via_positions_requires_positions_index(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# maintenance contracts
+# maintenance: incremental + compaction propagate positions
 # ---------------------------------------------------------------------------
-def test_incremental_refuses_positions_index(spark, pos_engine):
-    pdf = make_transcripts(n_conversations=3, seed=99)
-    with pytest.raises(ValueError, match="store_positions"):
-        incremental_update(spark, _sdf(spark, pdf), pos_engine.index_dir)
+@pytest.fixture(scope="module")
+def pos_split(spark, tmp_path_factory):
+    """full = one-shot positions build over all 40 convs;
+    merged = positions build over the first 30 + incremental batch of the
+    last 10 (same concat order, so doc_ids line up too)."""
+    pdf = make_transcripts(n_conversations=40, seed=21)
+    convs = sorted(pdf["conv_id"].unique())
+    cut = convs[30]
+    base_pdf = pdf[pdf["conv_id"] < cut]
+    extra_pdf = pdf[pdf["conv_id"] >= cut]
+    d = tmp_path_factory.mktemp("posincr")
+    full_dir, merged_dir = str(d / "full"), str(d / "merged")
+    build_index(spark, _sdf(spark, pdf), full_dir, n_parts=2, resume=False,
+                store_positions=True)
+    build_index(spark, _sdf(spark, base_pdf), merged_dir, n_parts=2,
+                resume=False, store_positions=True)
+    res = incremental_update(spark, _sdf(spark, extra_pdf), merged_dir)
+    # the hygiene filter drops blank-text rows (same in the full build)
+    assert 0 < res["new_docs"] <= len(extra_pdf) and res["new_parts"] == 1
+    # idempotent on a positions index too: replay is a no-op
+    res2 = incremental_update(spark, _sdf(spark, extra_pdf), merged_dir)
+    assert res2 == {"new_docs": 0, "new_parts": 0}
+    return full_dir, merged_dir, extra_pdf, res["new_docs"]
 
 
-def test_compaction_refuses_positions_index(spark, pos_engine):
-    with pytest.raises(ValueError, match="store_positions"):
-        compact_index(spark, pos_engine.index_dir, n_parts=1)
+def _phrase_scores(spark, idx, phrase, k=50, **kw):
+    eng = SearchEngine(spark, idx)
+    res = eng.search_phrase(phrase, k=k, **kw)
+    return {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in res.join(
+            eng.documents.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+        ).collect()
+    }
+
+
+def _first_phrase_from(pdf):
+    from search_engine_spark.functions.analyzer import analyze_text
+
+    for text in pdf["text"]:
+        lem = analyze_text(text)
+        if len(lem) >= 2:
+            return f"{lem[0]} {lem[1]}"
+    raise AssertionError("no 2-lemma doc in batch")
+
+
+def test_incremental_positions_phrase_matches_full_rebuild(spark, pos_split):
+    full_dir, merged_dir, extra_pdf, _ = pos_split
+    merged = SearchEngine(spark, merged_dir)
+    assert merged.has_positions
+    # a phrase that occurs in the INCREMENTAL batch — its positions stream
+    # comes from the new part's encode
+    phrase = _first_phrase_from(extra_pdf)
+    got = _phrase_scores(spark, merged_dir, phrase)
+    want = _phrase_scores(spark, full_dir, phrase)
+    assert got and got == want
+    # and the indexed path agrees with the text-residual path on the
+    # merged index (bit-exact scores, same docs)
+    residual = _phrase_scores(spark, merged_dir, phrase, via_positions=False)
+    assert got == residual
+
+
+def test_incremental_positions_decode_matches_reanalysis(spark, pos_split):
+    """Decoded positions for docs of the APPENDED part == token indexes in
+    the re-analyzed text (ground truth straight through the new encode)."""
+    from search_engine_spark.functions.analyzer import analyze_text
+
+    _, merged_dir, extra_pdf, n_new = pos_split
+    eng = SearchEngine(spark, merged_dir)
+    term = _first_phrase_from(extra_pdf).split()[0]
+    infos, _ = eng._infos_for_terms([term])
+    new_lo = eng.documents.count() - n_new  # batch appended last
+    rows = (
+        eng._positions_rows(infos, None)
+        .filter(F.col("doc_id") >= new_lo)
+        .join(eng.documents.select("doc_id", "text"), "doc_id")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        lem = analyze_text(r["text"])
+        expected = [i for i, t in enumerate(lem) if t == term]
+        assert list(r["positions"]) == expected, r["doc_id"]
+
+
+def test_compaction_preserves_positions(spark, pos_split):
+    """Compacting a positions index (with an incremental part) re-encodes
+    every part WITH its positions stream: phrase results stay bit-exact vs
+    the one-shot full build."""
+    full_dir, merged_dir, extra_pdf, _ = pos_split
+    phrase = _first_phrase_from(extra_pdf)
+    res = compact_index(spark, merged_dir, n_parts=1)
+    assert res["parts_after"] == 1
+    eng = SearchEngine(spark, merged_dir)
+    assert eng.has_positions
+    got = _phrase_scores(spark, merged_dir, phrase)
+    want = _phrase_scores(spark, full_dir, phrase)
+    assert got and got == want
+    residual = _phrase_scores(spark, merged_dir, phrase, via_positions=False)
+    assert got == residual
 
 
 def test_resume_refuses_positions_mismatch(spark, pos_engine):
