@@ -1050,7 +1050,12 @@ def run_attrib(pair=(4, 16)) -> dict:
 
 
 def _stage_control(label: str, out: dict) -> tuple[str, float] | None:
-    """Matched Spark-free control for a profiled build stage."""
+    """Matched Spark-free control for a profiled build stage. term_stats
+    is a ~2 s job-launch-dominated stage — a per-byte bandwidth control
+    is not a matched comparison for it; it gets the fixed-cost (Amdahl)
+    decomposition instead."""
+    if "term_stats" in label:
+        return None
     if "encode" in label:
         return ("encode kernel", out.get("encode_control_eff"))
     if "write" in label:
