@@ -178,6 +178,23 @@ class EngineAPI:
             self.invalidate()
         return {"result": True, **res}
 
+    # -- GET /api/snapshots (beyond-reference: time-travel surface) --------
+    def snapshots(self) -> dict[str, Any]:
+        """The retained snapshot log (operators/snapshots.py): every
+        build/append/replace commit with its id, operation, n_docs, and
+        part membership. The ids are valid ``snapshot_id`` arguments to
+        ``search``."""
+        from .operators.snapshots import list_snapshots
+
+        return {"result": True, "snapshots": list_snapshots(self.index_dir)}
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, Any]:
+        """Retention sweep: keep the newest ``keep_last`` snapshots and
+        garbage-collect the stats copies nothing references anymore."""
+        from .operators.snapshots import expire_snapshots
+
+        return {"result": True, **expire_snapshots(self.index_dir, keep_last)}
+
     def _get_engine(self) -> SearchEngine:
         """One memoized engine per index snapshot: SearchEngine.__init__
         costs a corpus_stats collect + parquet resolutions, and its
@@ -211,16 +228,26 @@ class EngineAPI:
         limit: int = 20,
         mode: str = "bm25",
         max_df: int | None = None,
+        snapshot_id: int | None = None,
     ) -> dict[str, Any]:
         """Paginated search with the reference's response envelope:
         {result, count, data:[{...}]} (SearchServiceImpl.java:78-90).
         ``site`` restricts results to conversations whose conv_id starts
         with it — the reference's optional site parameter
-        (ApiController.java:43-47, SearchServiceImpl.java:105-114)."""
+        (ApiController.java:43-47, SearchServiceImpl.java:105-114).
+        ``snapshot_id`` pins the search to a retained index snapshot
+        (time travel, operators/snapshots.py) — beyond-reference surface;
+        as-of engines are built per call, never memoized."""
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
         try:
-            eng = self._get_engine()
+            eng = (
+                self._get_engine()
+                if snapshot_id is None
+                else SearchEngine(
+                    self.spark, self.index_dir, snapshot_id=snapshot_id
+                )
+            )
         except AnalysisException:
             # first build still running (or never run): keep the
             # envelope contract instead of leaking a raw read error

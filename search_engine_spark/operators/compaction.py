@@ -207,4 +207,10 @@ def compact_index(
     stage = dict(manifest["stage_docs"])
     stage["part_size"] = part_size
     _write_manifest_row(out_dir, "stage_docs", stage)
+    # REPLACE commit + history truncation: the swap above rewrote the
+    # files older snapshots pin, so their records are expired with it
+    # (Iceberg rewrite_data_files + expireSnapshots)
+    from .snapshots import commit_snapshot
+
+    commit_snapshot(spark, out_dir, "replace", truncate=True)
     return {"parts_before": parts_before, "parts_after": actual_parts}

@@ -501,4 +501,9 @@ def incremental_update(
     row = dict(manifest["stage_docs"])
     row.update({"n_docs": n_docs})
     _write_manifest_row(out_dir, "stage_docs", row)
+    # AppendFiles commit: the new part + appended documents files become
+    # one retained snapshot; prior snapshots still resolve (time travel)
+    from .snapshots import commit_snapshot
+
+    commit_snapshot(spark, out_dir, "append")
     return {"new_docs": n_new, "new_parts": 1}

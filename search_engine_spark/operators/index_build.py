@@ -1199,6 +1199,11 @@ def build_index(
         _stage_a_cleanup()
 
     manifest = _read_manifest(out_dir)
+    # every part committed: publish the build as a snapshot (idempotent —
+    # a resumed no-op build returns the existing HEAD unchanged)
+    from .snapshots import commit_snapshot
+
+    commit_snapshot(spark, out_dir, "build")
     total_blocks = sum(
         int(r.get("blocks", 0)) for n, r in manifest.items() if n.startswith("part_")
     )

@@ -62,11 +62,26 @@ class SearchEngine:
     """Loads index metadata once; each ``search`` call is one Spark job."""
 
     def __init__(
-        self, spark: SparkSession, index_dir: str, n_buckets: int | None = None
+        self, spark: SparkSession, index_dir: str,
+        n_buckets: int | None = None, snapshot_id: int | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
-        corpus = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+        # Time travel (operators/snapshots.py): an explicit snapshot_id
+        # pins the engine to that commit — its stats copy, its posting
+        # parts (a part_id partition predicate: directory-level pruning,
+        # old parts never listed beyond the filter), and the exact
+        # documents files of the commit. snapshot_id=None reads HEAD
+        # through the live layout exactly as before (no snapshot store
+        # required — legacy indexes keep working).
+        self.snapshot: dict | None = None
+        stats_root = index_dir
+        if snapshot_id is not None:
+            from .snapshots import resolve_snapshot, stats_dir
+
+            self.snapshot = resolve_snapshot(index_dir, snapshot_id)
+            stats_root = str(stats_dir(index_dir, self.snapshot["stats_epoch"]))
+        corpus = spark.read.parquet(f"{stats_root}/corpus_stats").collect()[0]
         # bucket layout is persisted with the index (corpus_stats.n_buckets);
         # a caller-supplied mismatch would silently prune the wrong partition
         # dirs, so fail loudly instead
@@ -85,7 +100,7 @@ class SearchEngine:
         self.max_tf_sum = float(corpus["max_tf_sum"] or 1.0)
         _ep = corpus.asDict().get("stats_epoch")
         self._stats_epoch = int(_ep) if _ep is not None else None
-        self.term_stats = spark.read.parquet(f"{index_dir}/term_stats")
+        self.term_stats = spark.read.parquet(f"{stats_root}/term_stats")
         try:
             self.postings = spark.read.parquet(f"{index_dir}/postings")
         except AnalysisException as ex:
@@ -108,20 +123,40 @@ class SearchEngine:
                 self.postings = spark.createDataFrame(
                     [], schema=schemas.POSTINGS
                 )
-                self.documents = spark.read.parquet(f"{index_dir}/documents")
-                self._init_caches()
-                return
-            if "PATH_NOT_FOUND" not in str(ex):
-                raise
-            if self.n_docs > 0:
-                raise RuntimeError(
-                    f"index at {index_dir} has n_docs={self.n_docs} but no "
-                    "postings directory — likely a crashed compact_index "
-                    "swap; restore _postings_old/_postings_compacting or "
-                    "rebuild"
-                ) from ex
-            self.postings = spark.createDataFrame([], schema=schemas.POSTINGS)
-        self.documents = spark.read.parquet(f"{index_dir}/documents")
+            else:
+                if "PATH_NOT_FOUND" not in str(ex):
+                    raise
+                if self.n_docs > 0:
+                    raise RuntimeError(
+                        f"index at {index_dir} has n_docs={self.n_docs} but "
+                        "no postings directory — likely a crashed "
+                        "compact_index swap; restore _postings_old/"
+                        "_postings_compacting or rebuild"
+                    ) from ex
+                self.postings = spark.createDataFrame(
+                    [], schema=schemas.POSTINGS
+                )
+        if self.snapshot is not None:
+            # as-of reads pin the commit's membership: parts by partition
+            # predicate (isin over the part_id dir column — an empty live
+            # set matches nothing), documents by exact file list (appends
+            # only ever ADD files, so the pinned list is immutable)
+            live = [int(p) for p in self.snapshot["part_ids"]]
+            if "part_id" in self.postings.columns:
+                self.postings = self.postings.filter(
+                    F.col("part_id").isin(live) if live else F.lit(False)
+                )
+            files = [
+                f"{index_dir}/documents/{name}"
+                for name in self.snapshot["documents_files"]
+            ]
+            self.documents = (
+                spark.read.parquet(*files)
+                if files
+                else spark.createDataFrame([], schema=schemas.DOCUMENTS)
+            )
+        else:
+            self.documents = spark.read.parquet(f"{index_dir}/documents")
         self._init_caches()
 
     def _init_caches(self) -> None:
