@@ -750,6 +750,49 @@ def q_engine_compacted_topk(spark, sf_dir):
     )
 
 
+def q_engine_snapshot_topk(spark, sf_dir):
+    """Time travel under the gate (operators/snapshots.py — the Iceberg
+    snapshot-log shape the north rule's table format implies): build a
+    BASE index over 80% of the corpus (commits snapshot v1), append the
+    remaining 20% via incremental_update (commits v2 — HEAD now has more
+    docs, a bigger dictionary, different df/avgdl/n_docs, so EVERY BM25
+    score changed), then answer the standard 3-term query AS-OF the
+    build snapshot. Oracle = the SQL scorer over ONLY the base docs —
+    green iff the as-of engine reproduces the pre-append index
+    bit-exactly (pinned stats epoch copy, part_id membership filter,
+    pinned documents file list). A leak of even one appended posting or
+    the post-append stats into the as-of read shifts scores and fails
+    the hash. Replay-safe: resume no-ops the build (idempotent snapshot
+    commit), the merge anti-joins to empty, and the build snapshot is
+    addressed as the OLDEST retained id, not a hardcoded 1."""
+    from .operators.incremental import incremental_update
+    from .operators.snapshots import list_snapshots
+
+    out = _tagged_index_dir(sf_dir, "snap")
+    docs = _docs(spark, sf_dir)
+    base = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 != 0))
+    inc = documents_as_transcripts(docs.filter(F.col("doc_id") % 5 == 0))
+    build_index(spark, base, out, n_parts=2, resume=True)
+    incremental_update(spark, inc, out)
+    snaps = list_snapshots(out)
+    assert snaps[0]["operation"] == "build" and len(snaps) == 2, snaps
+    eng = SearchEngine(spark, out, snapshot_id=snaps[0]["snapshot_id"])
+    ids = eng.search_ids(" ".join(QUERY_TERMS), k=TOPK, mode="bm25")
+    # the as-of documents view carries the PRE-append doc_id mapping
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# the as-of oracle scores the BASE corpus only; df-asc order of the query
+# terms over bdocs at sf0.01 is spark(310) < window(311) < customer(313) —
+# same order as the full corpus, so _oracle_terms_sorted() carries over
+SNAP_PRE_CTE = "bdocs AS (SELECT * FROM documents WHERE doc_id % 5 <> 0), "
+
+
 SKEW_TERM = "zzhot"    # appended to EVERY doc -> df == n_docs (worst Zipf head)
 SKEW_SALT_BUDGET = 64  # df=500 at sf0.01 -> ceil(500/64) = 8 salt subranges
 
@@ -2392,6 +2435,167 @@ LEFT JOIN bs USING (doc_id)
 """
 
 
+DECONTAM_EVAL_MOD = 97  # synthetic eval set: docs with doc_id % 97 == 0
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the training-data op that flags
+    documents sharing n-grams with an evaluation set so eval answers
+    don't leak into training corpora (standard since GPT-3 §C /
+    Gopher §A2). The eval set here is synthesized deterministically as
+    the lemma {SHINGLE_N}-gram shingles of every doc with
+    doc_id % {DECONTAM_EVAL_MOD} == 0 (a stand-in for a benchmark
+    suite's n-gram table; in production it arrives as a small external
+    table). Per doc: distinct shingles, distinct shingles hitting the
+    eval set, and the contaminated flag.
+
+    100 TB shape: an eval-suite n-gram table is tiny next to the corpus
+    (millions of rows vs billions of docs), so the membership probe is a
+    BROADCAST semi-join riding the corpus scan — the only shuffle is the
+    doc_id-keyed count aggregate, which is skew-free by construction.
+    Nothing about the corpus side is quadratic or collected."""
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select("doc_id", F.explode(_shingles_col()).alias("shingle"))
+        .distinct()
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), zero).alias("n_shingles"),
+            F.coalesce(F.col("n_hits"), zero).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), zero) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _sql_decontaminate() -> str:
+    return f"""
+WITH sh AS ({_shingles_cte_sql()}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_hits FROM sh JOIN ev USING (shingle)
+    GROUP BY 1
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(sizes.n_shingles, 0) AS n_shingles,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       COALESCE(hits.n_hits, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN sizes USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+# PII scrubbing: the corpus is synthetic and PII-free, so positives are
+# INJECTED deterministically (same derivation on both engines) — the gate
+# then proves detection AND redaction on real matches, not on an
+# all-zeros corpus. Patterns stay in the Java-regex/RE2 common subset
+# (character classes, bounded repetition; no lookaround, no backrefs) so
+# leftmost-greedy matching is identical across Spark and DuckDB.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\d{3}-\d{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing — count and redact emails, IPv4 addresses, and
+    phone-shaped digit runs (the hygiene pass every public-corpus
+    training pipeline runs; C4 and RefinedWeb both ship regex scrubbers).
+    Redaction order is fixed (email -> ip -> phone) and mirrored in the
+    SQL twin; counts are taken BEFORE redaction. Pure per-row Catalyst
+    expressions riding the scan — zero shuffles, zero UDFs, linear at
+    any corpus size."""
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" contact agent"), d.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                     F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+        .cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_IP_RE))
+        .cast("long").alias("n_ips"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE))
+        .cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    return f"""
+WITH injected AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact agent' || CAST(doc_id AS VARCHAR)
+                        || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' call 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7'
+                   ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT)
+           AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM injected
+"""
+
+
 SOURCE_CAP = 20  # max docs kept per source (25/source at sf0.01 -> trims)
 
 
@@ -3356,6 +3560,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap_sample": q_source_cap_sample,
     "hash_split": q_hash_split,
     "doc_chunks": q_doc_chunks,
+    # -- new in r4: decontamination, PII scrubbing, snapshot time travel --
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "engine_snapshot_topk": q_engine_snapshot_topk,
     # -- last gated in r2 (fell past the r3 window unchanged) --
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
@@ -3392,16 +3600,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_phrase_topk": q_engine_phrase_topk,
     "engine_phrase_pos_topk": q_engine_phrase_pos_topk,
     "engine_phrase_incr_topk": q_engine_phrase_incr_topk,
-    "phrase_match": q_phrase_match,
-    "proximity_match": q_proximity_match,
     "ngram_dup_pairs": q_ngram_dup_pairs,
-    "minhash_sigs": q_minhash_sigs,
     "lsh_pairs": q_lsh_pairs,
     "ann_bucketed": q_ann_bucketed,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
     # ---- driver window boundary (entries below are green in BOTH r2 and
     #      r3, unchanged since; rotated out per the ordering policy) ----
+    "phrase_match": q_phrase_match,
+    "proximity_match": q_proximity_match,
+    "minhash_sigs": q_minhash_sigs,
     "embed_quantize": q_embed_quantize,
     "ann_ivf": q_ann_ivf,
     "doc_stats": q_doc_stats,
@@ -3475,6 +3683,11 @@ ORACLES: dict[str, str] = {
     ),
     # build + incremental merge + compaction must stay score-exact
     "engine_compacted_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
+    # as-of the build snapshot == scoring ONLY the base corpus (time
+    # travel must hide the appended docs from stats AND postings)
+    "engine_snapshot_topk": _topk_sql(
+        _oracle_terms_sorted(), "bm25", pre_cte=SNAP_PRE_CTE, table="bdocs"
+    ),
     # batching must be bit-invisible: union of the single-search oracles
     "engine_batch_topk": _batch_topk_sql(),
     # prefix expansion set + df-asc accumulation both derived from dft
@@ -3524,6 +3737,8 @@ ORACLES: dict[str, str] = {
     "quality_score": _sql_quality(),
     "token_counts": _sql_token_counts(),
     "repetition_stats": _sql_repetition_stats(),
+    "decontaminate": _sql_decontaminate(),
+    "pii_scrub": _sql_pii_scrub(),
     "source_cap_sample": _sql_source_cap_sample(),
     "pipeline_training_shard": _sql_training_shard(),
     "hash_split": _sql_hash_split(),

@@ -184,3 +184,54 @@ def test_ann_recall_measures_probe_misses(spark, tmp_path):
     assert int(row["k"]) == EQ.TOPK
     assert int(row["n_hit"]) == 8
     assert row["recall"] == pytest.approx(0.8, abs=0)
+
+
+def test_decontaminate_flags_eval_overlap(spark, tmp_path):
+    """doc 0 is the synthetic eval doc (doc_id % DECONTAM_EVAL_MOD == 0);
+    doc 1 copies one of its 3-gram spans verbatim, doc 2 shares nothing.
+    The flag must hit exactly {0, 1}, the hit counts must equal the
+    number of distinct shared shingles, and Spark == DuckDB bit-exactly."""
+    texts = [
+        "alpha bravo charlie delta echo",        # eval doc: 3 shingles
+        "zonly alpha bravo charlie yonly xonly",  # copies 'alpha bravo charlie'
+        "uniqa uniqb uniqc uniqd uniqe",          # clean
+        "tiny",                                   # < n lemmas: zero shingles
+    ]
+    sf_dir = _write_docs(tmp_path, texts)
+    got = _assert_matches_oracle(
+        EQ.q_decontaminate(spark, sf_dir), sf_dir, "decontaminate"
+    ).set_index("doc_id")
+    assert bool(got.loc[0, "contaminated"]) and bool(got.loc[1, "contaminated"])
+    assert not bool(got.loc[2, "contaminated"])
+    assert not bool(got.loc[3, "contaminated"])
+    assert int(got.loc[0, "n_hits"]) == 3          # whole doc is eval
+    assert int(got.loc[1, "n_hits"]) == 1          # one shared 3-gram
+    assert int(got.loc[3, "n_shingles"]) == 0
+
+
+def test_pii_scrub_detects_and_redacts(spark, tmp_path):
+    """doc 0 receives ALL THREE injected PII kinds (0 mod 7/11/13 == 0);
+    doc 1 carries NATURAL pii-shaped text that must also be caught; a
+    clean doc stays untouched. Counts are pre-redaction, the redacted
+    text carries the placeholders, and Spark == DuckDB bit-exactly."""
+    texts = [
+        "plain words here",
+        "mail bob@test.org or hit 192.168.0.1 then call 555-1234 twice",
+        "nothing sensitive at all",
+    ]
+    sf_dir = _write_docs(tmp_path, texts)
+    got = _assert_matches_oracle(
+        EQ.q_pii_scrub(spark, sf_dir), sf_dir, "pii_scrub"
+    ).set_index("doc_id")
+    # injected: doc 0 gets email+phone+ip appended
+    assert (int(got.loc[0, "n_emails"]), int(got.loc[0, "n_ips"]),
+            int(got.loc[0, "n_phones"])) == (1, 1, 1)
+    for tag in ("<EMAIL>", "<IP>", "<PHONE>"):
+        assert tag in got.loc[0, "clean_text"]
+    assert "@" not in got.loc[0, "clean_text"]
+    # natural: doc 1 has one of each in its own text
+    assert (int(got.loc[1, "n_emails"]), int(got.loc[1, "n_ips"]),
+            int(got.loc[1, "n_phones"])) == (1, 1, 1)
+    assert "bob@test.org" not in got.loc[1, "clean_text"]
+    # clean doc passes through verbatim
+    assert got.loc[2, "clean_text"] == "nothing sensitive at all"
