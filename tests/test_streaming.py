@@ -73,3 +73,24 @@ def test_streaming_replay_is_noop(spark, stream_setup, tmp_path):
     q = stream_transcripts(spark, str(src), str(tmp_path / "ckpt2"), idx)
     q.awaitTermination(120)
     assert spark.read.parquet(f"{idx}/documents").count() == n_before
+
+
+def test_streaming_batches_commit_snapshots(spark, stream_setup):
+    """Each micro-batch merge is an atomic snapshot commit (the ingest
+    path rides incremental_update), so the stream's history is
+    time-travelable: the build snapshot plus one append per non-empty
+    batch, each strictly growing, and an as-of read of the FIRST
+    snapshot sees exactly the pre-stream corpus."""
+    from search_engine_spark.operators.snapshots import list_snapshots
+
+    idx, *_ = stream_setup
+    snaps = list_snapshots(idx)
+    # runs after the ingest tests: build + (>= 2) streamed appends
+    assert snaps[0]["operation"] == "build"
+    assert {s["operation"] for s in snaps[1:]} == {"append"}
+    assert len(snaps) >= 3
+    counts = [s["n_docs"] for s in snaps]
+    assert counts == sorted(counts) and counts[0] < counts[-1]
+    asof = SearchEngine(spark, idx, snapshot_id=snaps[0]["snapshot_id"])
+    assert asof.n_docs == counts[0]
+    assert asof.documents.count() == counts[0]
