@@ -212,5 +212,8 @@ def compact_index(
     # (Iceberg rewrite_data_files + expireSnapshots)
     from .snapshots import commit_snapshot
 
-    commit_snapshot(spark, out_dir, "replace", truncate=True)
+    commit_snapshot(
+        spark, out_dir, "replace", truncate=True,
+        stats_epoch=stats_epoch, n_docs=n_docs,
+    )
     return {"parts_before": parts_before, "parts_after": actual_parts}

@@ -505,5 +505,7 @@ def incremental_update(
     # one retained snapshot; prior snapshots still resolve (time travel)
     from .snapshots import commit_snapshot
 
-    commit_snapshot(spark, out_dir, "append")
+    commit_snapshot(
+        spark, out_dir, "append", stats_epoch=new_epoch, n_docs=n_docs
+    )
     return {"new_docs": n_new, "new_parts": 1}

@@ -1203,7 +1203,9 @@ def build_index(
     # a resumed no-op build returns the existing HEAD unchanged)
     from .snapshots import commit_snapshot
 
-    commit_snapshot(spark, out_dir, "build")
+    commit_snapshot(
+        spark, out_dir, "build", stats_epoch=stats_epoch, n_docs=n_docs
+    )
     total_blocks = sum(
         int(r.get("blocks", 0)) for n, r in manifest.items() if n.startswith("part_")
     )

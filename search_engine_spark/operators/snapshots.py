@@ -154,6 +154,8 @@ def commit_snapshot(
     operation: str,
     *,
     truncate: bool = False,
+    stats_epoch: int | None = None,
+    n_docs: int | None = None,
 ) -> dict:
     """Commit the CURRENT committed state of the index as a snapshot.
 
@@ -161,14 +163,21 @@ def commit_snapshot(
     documents_files), it is returned unchanged — a resumed no-op build
     does not churn the log. With ``truncate=True`` (compaction's REPLACE)
     every older snapshot record is dropped and its stats copies are
-    garbage-collected, because the replace rewrote the files they pin."""
+    garbage-collected, because the replace rewrote the files they pin.
+
+    ``stats_epoch``/``n_docs``: the mutation paths already hold both (they
+    just wrote them), so passing them makes the commit pure filesystem
+    work — no Spark job rides the hot build path. When omitted (ad-hoc
+    callers), they are read back from corpus_stats."""
+    if stats_epoch is None or n_docs is None:
+        corpus = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
+        _ep = corpus.asDict().get("stats_epoch")
+        stats_epoch = int(_ep) if _ep is not None else 0
+        n_docs = int(corpus["n_docs"])
     from .index_build import _read_manifest
 
-    corpus = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
-    _ep = corpus.asDict().get("stats_epoch")
-    stats_epoch = int(_ep) if _ep is not None else 0
     state = {
-        "stats_epoch": stats_epoch,
+        "stats_epoch": int(stats_epoch),
         "part_ids": _committed_part_ids(_read_manifest(out_dir)),
         "documents_files": _documents_files(out_dir),
     }
@@ -181,13 +190,13 @@ def commit_snapshot(
         return head
 
     _snap_root(out_dir).mkdir(exist_ok=True)
-    _retain_stats_copy(spark, out_dir, stats_epoch)
+    _retain_stats_copy(spark, out_dir, int(stats_epoch))
     snap = {
         "snapshot_id": (head["snapshot_id"] + 1) if head else 1,
         "parent_id": head["snapshot_id"] if head else None,
         "operation": operation,
         "committed_ts": time.time(),
-        "n_docs": int(corpus["n_docs"]),
+        "n_docs": int(n_docs),
         **state,
     }
     path = _snap_file(out_dir, snap["snapshot_id"])
