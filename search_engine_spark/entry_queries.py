@@ -2880,6 +2880,57 @@ FROM ex
 """
 
 
+SHUFFLE_EPOCH = 1     # reshuffle seed: bumping it permutes every shard's order
+SHUFFLE_SHARDS = 8    # order is defined WITHIN a shard — never a global sort
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic training-order shuffle — the step between sharding
+    and the dataloader. Every epoch needs a reproducible pseudo-random
+    document order that survives retries and resumed jobs (never
+    RAND(): a re-executed task would deal different rows), and at 100 TB
+    it must never materialize a GLOBAL sort. Order key = portable
+    md5-60bit of (epoch, doc_id); shard = an independently salted hash
+    bucket; pos = row_number windowed PER SHARD over (key, doc_id) — the
+    sort is shard-local, so it parallelizes across shards exactly like
+    seq_pack's cumsum, and a dataloader streams shard files in pos
+    order. Bumping SHUFFLE_EPOCH re-deals every shard deterministically."""
+    d = F.col("doc_id").cast("string")
+    key = _hash_col(F.concat(F.lit(f"shuf:{SHUFFLE_EPOCH}:"), d))
+    shard = (
+        _hash_col(F.concat(F.lit("shard:"), d)) % F.lit(SHUFFLE_SHARDS)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", shard.alias("shard"), key.alias("key"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+def _sql_shuffle_order() -> str:
+    key = _hex2int_sql(
+        f"md5('shuf:{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR))"
+    )
+    shard = _hex2int_sql("md5('shard:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CAST({shard} % {SHUFFLE_SHARDS} AS INT) AS shard,
+           {key} AS key
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS BIGINT) AS pos
+FROM keyed
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational analytics over the TPC-H star schema — generic join / agg /
 # window coverage beyond the search domain. Float discipline: every DOUBLE
@@ -3563,6 +3614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4: decontamination, PII scrubbing, snapshot time travel --
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
+    "shuffle_order": q_shuffle_order,
     "engine_snapshot_topk": q_engine_snapshot_topk,
     # -- last gated in r2 (fell past the r3 window unchanged) --
     "search_snippets": q_search_snippets,
@@ -3601,7 +3653,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_phrase_pos_topk": q_engine_phrase_pos_topk,
     "engine_phrase_incr_topk": q_engine_phrase_incr_topk,
     "ngram_dup_pairs": q_ngram_dup_pairs,
-    "lsh_pairs": q_lsh_pairs,
     "ann_bucketed": q_ann_bucketed,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
@@ -3610,6 +3661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match": q_phrase_match,
     "proximity_match": q_proximity_match,
     "minhash_sigs": q_minhash_sigs,
+    "lsh_pairs": q_lsh_pairs,
     "embed_quantize": q_embed_quantize,
     "ann_ivf": q_ann_ivf,
     "doc_stats": q_doc_stats,
@@ -3745,6 +3797,7 @@ ORACLES: dict[str, str] = {
     # sequence packing composes ON TOP of the full funnel SQL (shared CTE)
     "seq_pack": _sql_seq_pack(),
     "doc_chunks": _sql_doc_chunks(),
+    "shuffle_order": _sql_shuffle_order(),
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_json": SQL_EVENTS_JSON,
