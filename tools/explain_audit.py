@@ -75,6 +75,32 @@ def main() -> None:
         "filter on the k-bounded join; no full-corpus re-analysis)",
         eng.search_phrase(" ".join(EQ.PHRASE_TERMS), k=10),
     )
+    show(
+        "decontamination (eval shingle set as BroadcastHashJoin — the "
+        "corpus side never shuffles for the membership probe)",
+        EQ.q_decontaminate(spark, sf_dir),
+    )
+    show(
+        "PII scrub (pure per-row regex exprs: one scan, zero Exchange)",
+        EQ.q_pii_scrub(spark, sf_dir),
+    )
+    show(
+        "shuffle order (one hashpartitioning(shard) exchange, sort is "
+        "shard-local — no global Sort/rangepartitioning)",
+        EQ.q_shuffle_order(spark, sf_dir),
+    )
+    from search_engine_spark.operators.snapshots import list_snapshots
+
+    snap_idx = EQ._tagged_index_dir(sf_dir, "snap")
+    if list_snapshots(snap_idx):
+        first = list_snapshots(snap_idx)[0]["snapshot_id"]
+        asof = SearchEngine(spark, snap_idx, snapshot_id=first)
+        ai, _ = asof.lookup_terms(" ".join(EQ.QUERY_TERMS))
+        show(
+            "snapshot as-of postings scan (part_id membership inside "
+            "PartitionFilters — old parts prune at directory listing)",
+            asof.candidate_scores(ai, conjunctive=True),
+        )
     spark.stop()
 
 
