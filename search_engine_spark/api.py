@@ -146,11 +146,19 @@ class EngineAPI:
         return {"result": True}
 
     # -- POST /api/indexPage ----------------------------------------------
-    def index_batch(self, new_transcripts: DataFrame) -> dict[str, Any]:
-        """Single-batch upsert (the reference's one-page re-index,
-        IndexationServiceImpl.java:119-131) — idempotent anti-join merge."""
+    def index_batch(
+        self, new_transcripts: DataFrame, *, upsert: bool = False
+    ) -> dict[str, Any]:
+        """Single-batch merge (the reference's one-page re-index,
+        IndexationServiceImpl.java:119-131) — idempotent anti-join merge.
+        ``upsert=True`` gives the reference's full REPLACE semantics: a
+        known (conv_id, turn_idx) arriving with DIFFERENT text replaces
+        the old doc via the delete vector (operators/deletes.py);
+        the default keeps pure insert semantics (changed text ignored)."""
         try:
-            res = incremental_update(self.spark, new_transcripts, self.index_dir)
+            res = incremental_update(
+                self.spark, new_transcripts, self.index_dir, upsert=upsert
+            )
         except ValueError as ex:
             return {"result": False, "error": str(ex)}
         self.invalidate()  # snapshot engines memoize df/ranges — refresh

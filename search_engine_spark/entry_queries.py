@@ -661,6 +661,40 @@ def q_engine_incremental_stats(spark, sf_dir):
     )
 
 
+def q_engine_upsert_stats(spark, sf_dir):
+    """S4/J4 upsert — the reference's re-index-page REPLACE
+    (IndexationServiceImpl.java:119-131: deleteAllByPageId + re-add)
+    under the driver gate: build a base index over a CORRUPTED corpus
+    (every doc_id % 7 == 3 carries a stale marker text), then upsert the
+    TRUE rows with incremental_update(upsert=True) — each stale doc's id
+    joins the delete vector (operators/deletes.py, Iceberg merge-on-read
+    shape) and its true text is indexed as a new doc; a key whose truth
+    is hygiene-blank is deleted WITHOUT re-add (the "page now empty"
+    case). Returns the final LIVE term dictionary (the vector-subtracted
+    stats _recompute_stats persists). Oracle = plain term_stats SQL over
+    the true corpus — green iff corrupt-build + upsert is exactly
+    equivalent to indexing the truth from scratch. Replay-safe: the base
+    build resumes off its manifest and a re-upsert of already-true rows
+    anti-joins to a no-op."""
+    from .operators.incremental import incremental_update
+
+    out = _tagged_index_dir(sf_dir, "upsert")
+    truth = documents_as_transcripts(_docs(spark, sf_dir))
+    corrupted = truth.withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 7 == 3,
+            F.lit("zzstale zzstale corrupt marker filler row"),
+        ).otherwise(F.col("text")),
+    )
+    build_index(spark, corrupted, out, resume=True)
+    incremental_update(spark, truth, out, upsert=True)
+    return (
+        spark.read.parquet(f"{out}/term_stats")
+        .select("term", "df", "cf")
+    )
+
+
 SCOPE_PREFIX = "src1"  # matches src1, src10..src19 — 11 sources, 275 docs
 
 
@@ -3616,6 +3650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "shuffle_order": q_shuffle_order,
     "engine_snapshot_topk": q_engine_snapshot_topk,
+    "engine_upsert_stats": q_engine_upsert_stats,
     # -- last gated in r2 (fell past the r3 window unchanged) --
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
@@ -3655,9 +3690,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "ann_bucketed": q_ann_bucketed,
     "ann_recall": q_ann_recall,
-    "ivf_recall": q_ivf_recall,
     # ---- driver window boundary (entries below are green in BOTH r2 and
     #      r3, unchanged since; rotated out per the ordering policy) ----
+    "ivf_recall": q_ivf_recall,
     "phrase_match": q_phrase_match,
     "proximity_match": q_proximity_match,
     "minhash_sigs": q_minhash_sigs,
@@ -3728,6 +3763,8 @@ ORACLES: dict[str, str] = {
     ),
     # base-build + incremental merge must equal indexing everything at once
     "engine_incremental_stats": SQL_TERM_STATS,
+    # upsert over a corrupted base must land exactly on the truth's stats
+    "engine_upsert_stats": SQL_TERM_STATS,
     # salted hot-term build vs the plain SQL scorer over the derived corpus
     "engine_skew_topk": _topk_sql(
         list(QUERY_TERMS) + [SKEW_TERM], "bm25",

@@ -91,7 +91,11 @@ def compact_index(
     # newest docs' postings) while stamping epoch-valid block maxima
     # computed with the wrong n_docs
     n_docs = int(corpus_row["n_docs"])
-    part_size = max(1, math.ceil(n_docs / n_parts))
+    # part ranges divide the ID SPACE (max assigned id + 1, deleted ids
+    # included), which diverges from the live n_docs once upserts delete
+    # docs — dividing by n_docs there would truncate the highest parts
+    id_space = int(corpus_row.asDict().get("id_space") or n_docs)
+    part_size = max(1, math.ceil(id_space / n_parts))
     avgdl = float(corpus_row["avgdl"]) if corpus_row["avgdl"] else 1.0
     # parts are re-encoded with the CURRENT stats read right here, so
     # they regain the current epoch — compaction restores the stored
@@ -111,13 +115,21 @@ def compact_index(
         if "UNABLE_TO_INFER_SCHEMA" not in str(staging_err):
             raise
         raw = spark.createDataFrame([], schema=schemas.staging_schema(store_pos))
+    # compaction IS the merge of merge-on-read: deleted docs' staging rows
+    # are dropped here, so the rebuilt parts carry no replaced postings
+    # and the delete vector can be purged after the swaps
+    from .deletes import deleted_ids_df, purge_deletes
+
+    del_df = deleted_ids_df(spark, out_dir)
+    if del_df is not None:
+        raw = raw.join(del_df, "doc_id", "left_anti")
     raw = raw.withColumn(
         "part_id", (F.col("doc_id") / F.lit(part_size)).cast("int")
     )
     shutil.rmtree(new_postings, ignore_errors=True)
     t0 = time.time()
     rows_per_part: dict[int, dict] = {}
-    actual_parts = math.ceil(n_docs / part_size) if n_docs else 0
+    actual_parts = math.ceil(id_space / part_size) if id_space else 0
 
     hash_ids = check_hash_ids(term_stats)
 
@@ -199,8 +211,29 @@ def compact_index(
     Path(staging_path).rename(old_staging)
     Path(new_staging).rename(staging_path)
     shutil.rmtree(old_staging, ignore_errors=True)
+    if del_df is not None:
+        # merge-on-read merge, documents side: rewrite the doc store
+        # without the deleted rows (ids keep their values — the id space
+        # keeps holes), THEN purge the vector. Crash between the two
+        # leaves vector entries pointing at already-gone rows — harmless,
+        # every reader subtracts the vector anyway.
+        docs_path = f"{out_dir}/documents"
+        new_docs = f"{out_dir}/_documents_compacting"
+        shutil.rmtree(new_docs, ignore_errors=True)
+        spark.read.parquet(docs_path).join(
+            del_df, "doc_id", "left_anti"
+        ).write.mode("overwrite").parquet(new_docs)
+        old_docs = f"{out_dir}/_documents_old"
+        shutil.rmtree(old_docs, ignore_errors=True)
+        Path(docs_path).rename(old_docs)
+        Path(new_docs).rename(docs_path)
+        shutil.rmtree(old_docs, ignore_errors=True)
+        purge_deletes(out_dir)
     for name in list(_read_manifest(out_dir)):
-        if name.startswith("part_"):
+        # deletes_* rows are deletes-only commit markers (incremental.py);
+        # their batches were purged with the vector above, so the markers
+        # go too — a stale marker would pin a part id forever
+        if name.startswith("part_") or name.startswith("deletes_"):
             (_manifest_path(out_dir) / f"{name}.json").unlink()
     for p, row in rows_per_part.items():
         _write_manifest_row(out_dir, f"part_{p:05d}", row)

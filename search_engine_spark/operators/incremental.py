@@ -18,7 +18,9 @@ the term", no matter how many times a batch is replayed.
 
 Crash-safety (the multi-table append commit protocol):
   The MANIFEST PART ROW is the commit marker and is written LAST. Write
-  order is staging -> postings -> documents -> stats -> manifest, so at
+  order is staging -> postings -> deletes -> documents -> stats ->
+  manifest (the delete vector, upsert mode only, travels with its part —
+  operators/deletes.py), so at
   entry `_recover_uncommitted` can classify any staging part that has no
   manifest row:
     (a) documents do NOT cover its doc_id range -> the crash happened
@@ -61,7 +63,9 @@ from .index_build import (
     assign_doc_ids,
     check_hash_ids,
     clean_transcripts,
+    conform_transcripts,
     encode_salted,
+    nonblank_text,
     prepare_salted,
 )
 
@@ -80,6 +84,21 @@ def _part_ids_under(out_dir: str, subdir: str) -> set[int]:
 
 def _staging_part_ids(out_dir: str) -> set[int]:
     return _part_ids_under(out_dir, "_staging_postings_raw")
+
+
+def _next_part_id(out_dir: str, manifest: dict) -> int:
+    """Number a new part past every part ever seen in the manifest
+    (including deletes-only commit markers — their name must never be
+    reused either), staging, OR the postings dir itself, so a
+    half-committed part id (or a part a crashed compaction swapped in
+    before its manifest rewrite) is never reused/clobbered."""
+    return 1 + max(
+        [int(r["partition_id"]) for r in manifest.values()
+         if int(r.get("partition_id", -1)) >= 0]
+        + list(_staging_part_ids(out_dir))
+        + list(_part_ids_under(out_dir, "postings")),
+        default=-1,
+    )
 
 
 def resolve_n_buckets(spark: SparkSession, out_dir: str,
@@ -108,21 +127,42 @@ def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
     marked as encoded under older stats, which disables the query
     engine's stored-block_max_score pruning until a compaction
     re-encodes them (query.py:_block_bound_col)."""
+    from .deletes import deleted_ids_df
+
     stats_path = f"{out_dir}/term_stats"
     corpus_path = f"{out_dir}/corpus_stats"
     raw = spark.read.parquet(f"{out_dir}/_staging_postings_raw")
-    raw.groupBy("term").agg(
+    docs_all = spark.read.parquet(f"{out_dir}/documents")
+    # stats describe the LIVE corpus: the delete vector's docs are
+    # subtracted from df/cf and from n_docs/avgdl/max_tf_sum. id_space is
+    # the ID-SPACE size (max assigned + 1, deleted ids included) — the
+    # layout quantity part-range math needs, which diverges from n_docs
+    # once upserts delete docs.
+    del_df = deleted_ids_df(spark, out_dir)
+    raw_live = (
+        raw.join(del_df, "doc_id", "left_anti") if del_df is not None else raw
+    )
+    docs_live = (
+        docs_all.join(del_df, "doc_id", "left_anti")
+        if del_df is not None
+        else docs_all
+    )
+    raw_live.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     ).write.mode("overwrite").parquet(f"{stats_path}_new")
-    docs_all = spark.read.parquet(f"{out_dir}/documents")
-    docs_all.agg(
+    id_row = docs_all.agg(
+        F.coalesce(F.max("doc_id") + 1, F.lit(0))
+        .cast("long")
+        .alias("id_space")
+    )
+    docs_live.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.max("dl").cast("double").alias("max_tf_sum"),
         F.lit(version).alias("index_version"),
         F.lit(n_buckets).alias("n_buckets"),
         F.lit(stats_epoch).cast("long").alias("stats_epoch"),
-    ).write.mode("overwrite").parquet(f"{corpus_path}_new")
+    ).crossJoin(id_row).write.mode("overwrite").parquet(f"{corpus_path}_new")
     # rename swap (same idiom as compact_index's postings/staging swap;
     # one Iceberg snapshot commit on clusters). Spark's mode("overwrite")
     # would DELETE the live table before its write job runs — a crash in
@@ -175,6 +215,36 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
                          manifest: dict, n_buckets: int) -> dict:
     """See module docstring: delete or finish any staging part whose commit
     marker (manifest part row) is missing."""
+    # deletes-only commits (blank-new-text upserts) have no staging part
+    # to classify; their commit marker is the deletes_{P} manifest row.
+    # An unmarked batch whose part id has no staging dir either is
+    # deletes-only crash debris: roll it back (the docs it would have
+    # deleted live again) and recompute stats — the crash may have landed
+    # AFTER the stats rewrite, which already subtracted the dropped batch.
+    from .deletes import delete_batch_dirs, drop_delete_batch
+
+    staged_now = _staging_part_ids(out_dir)
+    swept = False
+    for name in delete_batch_dirs(out_dir):
+        p = int(name.rsplit("_", 1)[1])
+        if (
+            f"part_{p:05d}" in manifest
+            or f"deletes_{p:05d}" in manifest
+            or p in staged_now  # normal-batch debris: classified below
+        ):
+            continue
+        drop_delete_batch(out_dir, p)
+        swept = True
+    if swept:
+        version = manifest["stage_docs"].get("index_version", "v1")
+        n_docs, _ = _recompute_stats(
+            spark, out_dir, version, n_buckets,
+            stats_epoch=int(time.time() * 1e6),
+        )
+        stage = dict(manifest["stage_docs"])
+        stage["n_docs"] = n_docs
+        _write_manifest_row(out_dir, "stage_docs", stage)
+        manifest = _read_manifest(out_dir)
     committed = {
         int(r.get("partition_id", -1))
         for r in manifest.values()
@@ -229,8 +299,13 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
             # garbage. A PARTIAL documents append must be rolled back
             # too: leaving the landed rows would make the anti-join
             # treat those turns as indexed (with no postings) forever.
+            # The batch's delete vector rolls back with it — the docs it
+            # would have replaced live again (their replacement is gone).
+            from .deletes import drop_delete_batch
+
             shutil.rmtree(staging_part, ignore_errors=True)
             shutil.rmtree(postings_part, ignore_errors=True)
+            drop_delete_batch(out_dir, p)
             if lo is not None and 0 < n_in_range:
                 partial_lo = lo if partial_lo is None else min(partial_lo, lo)
     if partial_lo is not None:
@@ -314,12 +389,24 @@ def incremental_update(
     block_size: int = 128,
     salt_budget: int = 100_000,
     index_version: str | None = None,
+    upsert: bool = False,
 ) -> dict:
     """Merge a batch of new turns into an existing index at ``out_dir``.
-    Returns {"new_docs": int, "new_parts": int}. Idempotent: replaying the
-    same batch is a no-op (anti-join drops already-indexed turns), and a
-    replay after a mid-write crash repairs the index first (see module
-    docstring)."""
+    Returns {"new_docs": int, "new_parts": int, "replaced_docs": int}.
+    Idempotent: replaying the same batch is a no-op (anti-join drops
+    already-indexed turns), and a replay after a mid-write crash repairs
+    the index first (see module docstring).
+
+    ``upsert=True`` adds the reference's re-index-page REPLACE semantics
+    (IndexationServiceImpl.java:119-131: deleteAllByPageId + re-add): an
+    incoming turn whose (conv_id, turn_idx) already exists but whose TEXT
+    differs replaces the old doc — the old doc_id joins the delete vector
+    (operators/deletes.py, Iceberg merge-on-read shape) and the new text
+    is indexed as a new doc in this batch's part. Same-text replays stay
+    no-ops either way. Replacement is text-keyed: rows differing only in
+    role/tool/ts are treated as unchanged. With upsert=False (default) a
+    changed turn is dropped like any already-indexed key — pure insert
+    semantics, bit-compatible with every pre-upsert index."""
     manifest = _read_manifest(out_dir)
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         raise ValueError(f"no complete index at {out_dir}; run build_index first")
@@ -351,23 +438,114 @@ def incremental_update(
     base = existing.agg(F.max("doc_id")).collect()[0][0]
     base = int(base) + 1 if base is not None else 0
 
+    # the live view subtracts the delete vector: replaced docs must not
+    # anchor the anti-join (their replacement row does) nor feed stats
+    from .deletes import deleted_ids_df, write_delete_batch
+
+    prior_del = deleted_ids_df(spark, out_dir)
+    existing_live = (
+        existing.join(prior_del, "doc_id", "left_anti")
+        if prior_del is not None
+        else existing
+    )
+
     # localCheckpoint truncates lineage at the anti-join: everything below
     # appends to `documents`, and a lazily re-evaluated anti-join against
     # the just-appended table would silently see its own output (classic
     # self-dependency) — the batch must be materialized BEFORE any write
-    fresh = (
-        clean_transcripts(new_transcripts)
-        .join(
-            existing.select("conv_id", "turn_idx"),
-            ["conv_id", "turn_idx"],
-            "left_anti",
+    if upsert:
+        # changed-detection runs BEFORE hygiene: a key whose NEW text is
+        # blank must still DELETE the old doc (the reference's re-index
+        # of a now-empty page wipes its rows and re-adds nothing) — the
+        # hygiene filter only gates what gets (re-)indexed, never what
+        # gets replaced
+        incoming_all = conform_transcripts(new_transcripts)
+        live_keyed = existing_live.select(
+            "conv_id",
+            "turn_idx",
+            F.col("doc_id").alias("_old_id"),
+            F.col("text").alias("_old_text"),
         )
-        .localCheckpoint()
-    )
+        j = incoming_all.join(live_keyed, ["conv_id", "turn_idx"], "left")
+        # batch = brand-new keys + text-changed keys (indexed as new
+        # docs), hygiene-gated like any build input
+        fresh = (
+            j.filter(
+                (
+                    F.col("_old_id").isNull()
+                    | ~F.col("text").eqNullSafe(F.col("_old_text"))
+                )
+                & nonblank_text()
+            )
+            .drop("_old_id", "_old_text")
+            .localCheckpoint()
+        )
+        replaced = (
+            j.filter(
+                F.col("_old_id").isNotNull()
+                & ~F.col("text").eqNullSafe(F.col("_old_text"))
+            )
+            .select(F.col("_old_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_replaced = replaced.count()
+    else:
+        fresh = (
+            clean_transcripts(new_transcripts).join(
+                existing_live.select("conv_id", "turn_idx"),
+                ["conv_id", "turn_idx"],
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        replaced = None
+        n_replaced = 0
     with_ids, ranged, n_new = assign_doc_ids(fresh, spark, base=base)
     if n_new == 0:
         ranged.unpersist()
-        return {"new_docs": 0, "new_parts": 0}
+        if n_replaced:
+            # deletes-only commit: every changed key's new text is
+            # hygiene-blank — the reference's "page now empty" re-index
+            # (deleteAllByPageId wipes the rows, the re-add indexes
+            # nothing). No staging/postings/documents write happens, so
+            # the part's manifest row can't be the commit marker; a
+            # dedicated `deletes_{P}` row is, written LAST. Protocol:
+            # delete batch -> stats rewrite -> marker -> snapshot. A
+            # crash before the marker leaves an unmarked batch that
+            # _recover_uncommitted's sweep rolls back (recomputing stats,
+            # since the crash may have landed after the rewrite).
+            part_new = _next_part_id(out_dir, manifest)
+            write_delete_batch(replaced, out_dir, part_new)
+            new_epoch = int(time.time() * 1e6)
+            n_docs, _ = _recompute_stats(
+                spark, out_dir, version, n_buckets, stats_epoch=new_epoch
+            )
+            now = time.time()
+            _write_manifest_row(
+                out_dir,
+                f"deletes_{part_new:05d}",
+                {
+                    "partition_id": part_new,
+                    "status": "DONE",
+                    "started_ts": now,
+                    "finished_ts": now,
+                    "index_version": version,
+                    "stats_epoch": new_epoch,
+                    "replaced_docs": n_replaced,
+                    "deletes_only": True,
+                },
+            )
+            row = dict(manifest["stage_docs"])
+            row.update({"n_docs": n_docs})
+            _write_manifest_row(out_dir, "stage_docs", row)
+            from .snapshots import commit_snapshot
+
+            commit_snapshot(
+                spark, out_dir, "delete",
+                stats_epoch=new_epoch, n_docs=n_docs,
+            )
+        return {"new_docs": 0, "new_parts": 0, "replaced_docs": n_replaced}
 
     t0 = time.time()
     analyzed = with_ids.withColumn("terms", terms_col(F.col("text")))
@@ -384,13 +562,7 @@ def incremental_update(
         # ever seen in manifest, staging, OR the postings dir itself, so a
         # half-committed part id (or a part a crashed compaction swapped in
         # before its manifest rewrite) is never reused/clobbered.
-        part_new = 1 + max(
-            [int(r["partition_id"]) for r in manifest.values()
-             if int(r.get("partition_id", -1)) >= 0]
-            + list(_staging_part_ids(out_dir))
-            + list(_part_ids_under(out_dir, "postings")),
-            default=-1,
-        )
+        part_new = _next_part_id(out_dir, manifest)
         if store_pos:
             # same staging shape as build_index's positions branch
             # (index_build.py stage A): pos = 0-based token index in the
@@ -420,18 +592,28 @@ def incremental_update(
 
         # postings for the new part (df comes from a post-merge recompute below,
         # but the encoder needs df now for idf-at-encode — use the union view:
-        # staging already contains the new part)
+        # staging already contains the new part). LIVE view throughout:
+        # prior deletes AND this batch's replacements are subtracted so the
+        # encode-time stats stay bit-identical to what _recompute_stats
+        # persists once the delete batch is on disk.
         raw = spark.read.parquet(staging_path)
-        term_stats_now = raw.groupBy("term").agg(F.count("*").alias("df"))
-        docs_after = base + n_new
-        # avgdl over ALL docs after this batch: existing docs' dl + new batch dl
-        avg_row = (
-            existing.select("dl")
+        raw_live = raw
+        live_prev = existing_live
+        if prior_del is not None:
+            raw_live = raw_live.join(prior_del, "doc_id", "left_anti")
+        if n_replaced:
+            raw_live = raw_live.join(replaced, "doc_id", "left_anti")
+            live_prev = live_prev.join(replaced, "doc_id", "left_anti")
+        term_stats_now = raw_live.groupBy("term").agg(F.count("*").alias("df"))
+        # n_docs + avgdl over LIVE docs after this batch, in one job
+        stat_row = (
+            live_prev.select("dl")
             .unionByName(analyzed.select("dl"))
-            .agg(F.avg("dl").alias("a"))
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("a"))
             .collect()[0]
         )
-        avgdl = float(avg_row["a"]) if avg_row["a"] else 1.0
+        docs_after = int(stat_row["n"])
+        avgdl = float(stat_row["a"]) if stat_row["a"] else 1.0
 
         raw_p = raw.filter(F.col("part_id") == part_new)
         batch_span = max(1, n_new)
@@ -462,6 +644,13 @@ def incremental_update(
             f"{postings_path}/part_id={part_new}"
         )
         m = obs.get
+
+        # delete vector AFTER postings, BEFORE documents: recovery
+        # classifies it with the part (an uncommitted batch's deletes are
+        # rolled back with its staging/postings — the old docs live again
+        # because their replacement was never committed)
+        if n_replaced:
+            write_delete_batch(replaced, out_dir, part_new)
 
         # documents LAST among data tables — the anti-join anchor must never
         # vouch for artifacts that don't exist yet (crash-safety, see docstring)
@@ -496,16 +685,18 @@ def incremental_update(
             "blocks": int(m["blocks"] or 0),
             "index_version": version,
             "stats_epoch": new_epoch,
+            "replaced_docs": n_replaced,
         },
     )
     row = dict(manifest["stage_docs"])
     row.update({"n_docs": n_docs})
     _write_manifest_row(out_dir, "stage_docs", row)
-    # AppendFiles commit: the new part + appended documents files become
-    # one retained snapshot; prior snapshots still resolve (time travel)
+    # AppendFiles commit: the new part + appended documents files (and any
+    # delete batch) become one retained snapshot; prior snapshots still
+    # resolve (time travel)
     from .snapshots import commit_snapshot
 
     commit_snapshot(
         spark, out_dir, "append", stats_epoch=new_epoch, n_docs=n_docs
     )
-    return {"new_docs": n_new, "new_parts": 1}
+    return {"new_docs": n_new, "new_parts": 1, "replaced_docs": n_replaced}

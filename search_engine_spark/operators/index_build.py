@@ -828,6 +828,9 @@ def build_index(
                         # never guess a different n_buckets
                         "n_buckets": int(n_buckets),
                         "stats_epoch": stats_epoch,
+                        # fresh build: ids are dense 0..n_docs-1, no
+                        # deletes yet, so the id space IS the doc count
+                        "id_space": int(m["n_docs"] or 0),
                     }
                 ]
             )
@@ -1017,6 +1020,9 @@ def build_index(
             F.lit(index_version).alias("index_version"),
             F.lit(n_buckets).alias("n_buckets"),
             F.lit(fb_epoch).cast("long").alias("stats_epoch"),
+            F.coalesce(F.max("doc_id") + 1, F.lit(0))
+            .cast("long")
+            .alias("id_space"),
         ).write.mode("overwrite").parquet(corpus_path)
         _write_manifest_row(
             out_dir,

@@ -96,6 +96,14 @@ class SearchEngine:
         else:  # pre-persistence index layout
             self.n_buckets = 16 if n_buckets is None else int(n_buckets)
         self.n_docs = int(corpus["n_docs"])
+        # layout bound: doc_ids span [0, id_space) — on an index that ever
+        # replaced docs (operators/deletes.py) this EXCEEDS n_docs (the
+        # LIVE count BM25 scores with), so anything that turns a doc_id
+        # into an array slot (search_many's range buckets, the MaxScore
+        # grid) must size by id_space, never n_docs. Older indexes lack
+        # the column; there ids are dense and n_docs IS the space.
+        _isp = corpus.asDict().get("id_space")
+        self.id_space = int(_isp) if _isp is not None else self.n_docs
         self.avgdl = float(corpus["avgdl"]) if corpus["avgdl"] else 1.0
         self.max_tf_sum = float(corpus["max_tf_sum"] or 1.0)
         _ep = corpus.asDict().get("stats_epoch")
@@ -157,6 +165,28 @@ class SearchEngine:
             )
         else:
             self.documents = spark.read.parquet(f"{index_dir}/documents")
+        # delete vector (operators/deletes.py, upsert support): collected
+        # once per engine, masked out of every decode kernel and
+        # anti-joined off the documents view, so replaced docs neither
+        # score nor surface. Pinned snapshots load THEIR vector (a
+        # snapshot taken before an upsert correctly still sees the old
+        # doc). None (the common case) costs nothing anywhere.
+        from .deletes import load_deleted_ids
+
+        self._deleted = load_deleted_ids(
+            spark,
+            index_dir,
+            self.snapshot.get("delete_dirs", [])
+            if self.snapshot is not None
+            else None,
+        )
+        if self._deleted is not None:
+            ddf = spark.createDataFrame(
+                [(int(i),) for i in self._deleted], "doc_id long"
+            )
+            self.documents = self.documents.join(
+                F.broadcast(ddf), "doc_id", "left_anti"
+            )
         self._init_caches()
 
     def _init_caches(self) -> None:
@@ -489,6 +519,7 @@ class SearchEngine:
 
         lo_arr = np.array([r[0] for r in ranges], dtype=np.int64) if ranges else None
         hi_arr = np.array([r[1] for r in ranges], dtype=np.int64) if ranges else None
+        deleted = self._deleted  # sorted int64 array or None
 
         out_schema = T.StructType(
             [
@@ -530,6 +561,13 @@ class SearchEngine:
                         # conjunction) so pruned docs never hit the shuffle
                         pos = np.searchsorted(lo_arr, ids, side="right") - 1
                         keep = (pos >= 0) & (ids <= hi_arr[np.clip(pos, 0, None)])
+                        if not keep.all():
+                            ids, tfs = ids[keep], tfs[keep]
+                            if mode == "bm25":
+                                dls = dls[keep]
+                    if deleted is not None and ids.size:
+                        # delete-vector mask: replaced docs never score
+                        keep = ~np.isin(ids, deleted)
                         if not keep.all():
                             ids, tfs = ids[keep], tfs[keep]
                             if mode == "bm25":
@@ -996,7 +1034,7 @@ class SearchEngine:
 
         # -- pass 1a: per-(term, grid-bucket) max bound ------------------
         grid_n = self.MAXSCORE_GRID
-        width = max(1, -(-(self.n_docs + 1) // grid_n))  # ceil div
+        width = max(1, -(-(self.id_space + 1) // grid_n))  # ceil div
         g_first = (F.col("first_doc_id") / F.lit(width)).cast("long")
         g_last = (F.col("last_doc_id") / F.lit(width)).cast("long")
         grid_rows = (
@@ -1552,7 +1590,7 @@ class SearchEngine:
         n_score_parts = self.spark.sparkContext.defaultParallelism
         n_rb = 8 * n_score_parts  # over-decompose: hash smooths rb->part
         edges = (
-            np.arange(n_rb + 1, dtype=np.int64) * (self.n_docs + 2)
+            np.arange(n_rb + 1, dtype=np.int64) * (self.id_space + 2)
         ) // n_rb
         rb_widths = np.diff(edges)
         idf_by_ti = np.array(
@@ -1568,6 +1606,7 @@ class SearchEngine:
                 T.StructField("dl_b", T.BinaryType(), False),
             ]
         )
+        deleted = self._deleted  # delete-vector mask (see candidate_scores)
 
         def decode_pack(batches):
             from ..functions.codec import (
@@ -1614,6 +1653,12 @@ class SearchEngine:
                         keep = (pos >= 0) & (
                             ids <= hi_arr[np.clip(pos, 0, None)]
                         )
+                        if not keep.all():
+                            ids, tfs = ids[keep], tfs[keep]
+                            if dls is not None:
+                                dls = dls[keep]
+                    if deleted is not None and ids.size:
+                        keep = ~np.isin(ids, deleted)
                         if not keep.all():
                             ids, tfs = ids[keep], tfs[keep]
                             if dls is not None:

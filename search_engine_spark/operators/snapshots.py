@@ -174,18 +174,28 @@ def commit_snapshot(
         _ep = corpus.asDict().get("stats_epoch")
         stats_epoch = int(_ep) if _ep is not None else 0
         n_docs = int(corpus["n_docs"])
+    from .deletes import delete_batch_dirs
     from .index_build import _read_manifest
 
     state = {
         "stats_epoch": int(stats_epoch),
         "part_ids": _committed_part_ids(_read_manifest(out_dir)),
         "documents_files": _documents_files(out_dir),
+        # the delete vector is part of table state: an as-of read applies
+        # exactly the batches committed by then (an older snapshot with
+        # fewer batches correctly still sees the docs later replaced)
+        "delete_dirs": delete_batch_dirs(out_dir),
     }
     head = current_snapshot(out_dir)
     if (
         head is not None
         and not truncate
-        and all(head.get(k) == v for k, v in state.items())
+        and head.get("stats_epoch") == state["stats_epoch"]
+        and head.get("part_ids") == state["part_ids"]
+        and head.get("documents_files") == state["documents_files"]
+        # snapshots minted before delete vectors existed lack the key —
+        # treat missing as the empty vector, not a state change
+        and (head.get("delete_dirs") or []) == state["delete_dirs"]
     ):
         return head
 

@@ -111,6 +111,11 @@ CORPUS_STATS = T.StructType(
         # query engine can prove the stored block_max_score column is
         # consistent with current stats before pruning with it
         T.StructField("stats_epoch", T.LongType(), True),
+        # ID-SPACE size (max assigned doc_id + 1, deleted ids INCLUDED) —
+        # the layout quantity part-range math divides by. Diverges from
+        # n_docs (the LIVE count BM25 scores with) once upserts delete
+        # docs; equal on any index that never replaced a doc.
+        T.StructField("id_space", T.LongType(), True),
     ]
 )
 

@@ -120,7 +120,7 @@ def test_scoped_search_after_incremental_append(spark, tmp_path_factory):
 def test_incremental_idempotent(spark, split_corpora):
     _, base_dir, extra_sdf = split_corpora
     res = incremental_update(spark, extra_sdf, base_dir)  # replay
-    assert res == {"new_docs": 0, "new_parts": 0}
+    assert res == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
 
 
 def test_incremental_requires_index(spark, tmp_path, split_corpora):
@@ -145,7 +145,7 @@ def test_recovery_finishes_interrupted_commit(spark, split_corpora):
     mrow.unlink()  # simulate dying between documents append and commit
 
     res = incremental_update(spark, extra_sdf, base_dir)  # replay
-    assert res == {"new_docs": 0, "new_parts": 0}
+    assert res == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
     import json
 
     restored = json.loads(mrow.read_text())
@@ -177,7 +177,7 @@ def test_recovery_deletes_precommit_garbage(spark, split_corpora):
     assert Path(f"{staging}/part_id=99").exists()
 
     res = incremental_update(spark, extra_sdf, base_dir)  # replay (no-op)
-    assert res == {"new_docs": 0, "new_parts": 0}
+    assert res == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
     assert not Path(f"{staging}/part_id=99").exists()
     for q in ["token batch"]:
         assert _scores(spark, full_dir, q) == _scores(spark, base_dir, q)
@@ -308,7 +308,7 @@ def test_recovery_cleans_empty_orphan_staging_dir(spark, tmp_path):
     res = incremental_update(
         spark, _to_sdf(spark, pdf), idx  # full replay: anti-join no-op
     )
-    assert res == {"new_docs": 0, "new_parts": 0}
+    assert res == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
     assert not os.path.exists(empty_part)
 
 

@@ -195,7 +195,7 @@ def pos_split(spark, tmp_path_factory):
     assert 0 < res["new_docs"] <= len(extra_pdf) and res["new_parts"] == 1
     # idempotent on a positions index too: replay is a no-op
     res2 = incremental_update(spark, _sdf(spark, extra_pdf), merged_dir)
-    assert res2 == {"new_docs": 0, "new_parts": 0}
+    assert res2 == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
     return full_dir, merged_dir, extra_pdf, res["new_docs"]
 
 
