@@ -164,6 +164,23 @@ class EngineAPI:
         self.invalidate()  # snapshot engines memoize df/ranges — refresh
         return {"result": True, **res}
 
+    # -- DELETE /api/documents ---------------------------------------------
+    def delete_batch(self, keys: DataFrame) -> dict[str, Any]:
+        """Targeted deletion (the standalone half of the reference's
+        deleteAllByPageId, IndexationServiceImpl.java:119-123 — e.g. a
+        takedown request): ``keys`` carries ``conv_id`` (whole
+        conversations) or (``conv_id``, ``turn_idx``) (exact turns).
+        Merge-on-read — one deletes-only snapshot commit; the next
+        compact() physically drops the rows."""
+        from .operators.incremental import delete_docs
+
+        try:
+            res = delete_docs(self.spark, keys, self.index_dir)
+        except ValueError as ex:
+            return {"result": False, "error": str(ex)}
+        self.invalidate()
+        return {"result": True, **res}
+
     # -- maintenance --------------------------------------------------------
     def compact(self, **kwargs) -> dict[str, Any]:
         """Fold accumulated incremental parts back into the target layout

@@ -695,6 +695,33 @@ def q_engine_upsert_stats(spark, sf_dir):
     )
 
 
+def q_engine_delete_stats(spark, sf_dir):
+    """Targeted deletion under the gate — the standalone half of the
+    reference's deleteAllByPageId (IndexationServiceImpl.java:119-123,
+    e.g. a takedown / right-to-be-forgotten request): build the full
+    index, delete every doc_id % 9 == 4 turn via delete_docs (one
+    merge-on-read deletes-only commit, operators/deletes.py), and return
+    the LIVE term dictionary. Oracle = term_stats SQL over the corpus
+    WITHOUT those rows — green iff full-build + targeted delete is
+    exactly equivalent to never indexing them (df/cf subtraction, stats
+    rewrite, vector-masked reads). Replay-safe: the build resumes off
+    its manifest and a re-delete matches nothing live (no empty batch is
+    committed)."""
+    from .operators.incremental import delete_docs
+
+    out = _tagged_index_dir(sf_dir, "del")
+    truth = documents_as_transcripts(_docs(spark, sf_dir))
+    build_index(spark, truth, out, resume=True)
+    keys = truth.filter(F.col("turn_idx") % 9 == 4).select(
+        "conv_id", "turn_idx"
+    )
+    delete_docs(spark, keys, out)
+    return (
+        spark.read.parquet(f"{out}/term_stats")
+        .select("term", "df", "cf")
+    )
+
+
 SCOPE_PREFIX = "src1"  # matches src1, src10..src19 — 11 sources, 275 docs
 
 
@@ -3651,6 +3678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_order": q_shuffle_order,
     "engine_snapshot_topk": q_engine_snapshot_topk,
     "engine_upsert_stats": q_engine_upsert_stats,
+    "engine_delete_stats": q_engine_delete_stats,
     # -- last gated in r2 (fell past the r3 window unchanged) --
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
@@ -3687,11 +3715,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_phrase_topk": q_engine_phrase_topk,
     "engine_phrase_pos_topk": q_engine_phrase_pos_topk,
     "engine_phrase_incr_topk": q_engine_phrase_incr_topk,
-    "ngram_dup_pairs": q_ngram_dup_pairs,
     "ann_bucketed": q_ann_bucketed,
     "ann_recall": q_ann_recall,
     # ---- driver window boundary (entries below are green in BOTH r2 and
     #      r3, unchanged since; rotated out per the ordering policy) ----
+    "ngram_dup_pairs": q_ngram_dup_pairs,
     "ivf_recall": q_ivf_recall,
     "phrase_match": q_phrase_match,
     "proximity_match": q_proximity_match,
@@ -3765,6 +3793,10 @@ ORACLES: dict[str, str] = {
     "engine_incremental_stats": SQL_TERM_STATS,
     # upsert over a corrupted base must land exactly on the truth's stats
     "engine_upsert_stats": SQL_TERM_STATS,
+    # full build + targeted delete == never indexing the deleted rows
+    "engine_delete_stats": f"""WITH ddocs AS (
+    SELECT * FROM documents WHERE doc_id % 9 <> 4
+), {_base_ctes("ddocs")} SELECT term, df, cf FROM dft""",
     # salted hot-term build vs the plain SQL scorer over the derived corpus
     "engine_skew_topk": _topk_sql(
         list(QUERY_TERMS) + [SKEW_TERM], "bm25",

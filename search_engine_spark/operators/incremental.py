@@ -380,6 +380,111 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
     return _read_manifest(out_dir)
 
 
+def _commit_deletes_only(
+    spark: SparkSession,
+    out_dir: str,
+    manifest: dict,
+    doomed: DataFrame,
+    n_doomed: int,
+    version: str,
+    n_buckets: int,
+) -> int:
+    """Commit a batch of pure deletions (no staging/postings/documents
+    write): the doomed (doc_id) rows join the delete vector and the live
+    stats are rewritten without them. Since there is no part whose
+    manifest row could be the commit marker, a dedicated ``deletes_{P}``
+    row is, written LAST. Protocol: delete batch -> stats rewrite ->
+    marker -> snapshot. A crash before the marker leaves an unmarked
+    batch that _recover_uncommitted's sweep rolls back (recomputing
+    stats, since the crash may have landed after the rewrite). Returns
+    the id the batch was committed under."""
+    from .deletes import write_delete_batch
+    from .snapshots import commit_snapshot
+
+    part_new = _next_part_id(out_dir, manifest)
+    write_delete_batch(doomed, out_dir, part_new)
+    new_epoch = int(time.time() * 1e6)
+    n_docs, _ = _recompute_stats(
+        spark, out_dir, version, n_buckets, stats_epoch=new_epoch
+    )
+    now = time.time()
+    _write_manifest_row(
+        out_dir,
+        f"deletes_{part_new:05d}",
+        {
+            "partition_id": part_new,
+            "status": "DONE",
+            "started_ts": now,
+            "finished_ts": now,
+            "index_version": version,
+            "stats_epoch": new_epoch,
+            "replaced_docs": n_doomed,
+            "deletes_only": True,
+        },
+    )
+    row = dict(manifest["stage_docs"])
+    row.update({"n_docs": n_docs})
+    _write_manifest_row(out_dir, "stage_docs", row)
+    commit_snapshot(
+        spark, out_dir, "delete", stats_epoch=new_epoch, n_docs=n_docs
+    )
+    return part_new
+
+
+def delete_docs(
+    spark: SparkSession,
+    keys: DataFrame,
+    out_dir: str,
+) -> dict:
+    """Targeted deletion — the standalone half of the reference's
+    deleteAllByPageId (IndexationServiceImpl.java:119-123; wiping a
+    page's rows WITHOUT re-adding, e.g. a takedown / right-to-be-
+    forgotten request over a training corpus). ``keys`` is a DataFrame
+    with a ``conv_id`` column (every live turn of those conversations is
+    deleted) or (``conv_id``, ``turn_idx``) columns (exactly those
+    turns). Returns {"deleted_docs": int}.
+
+    Same merge-on-read shape as upsert (operators/deletes.py): the doomed
+    doc_ids join the delete vector in one deletes-only commit; nothing in
+    staging/postings/documents is touched until the next compact_index
+    physically drops the rows. Idempotent — re-deleting the same keys
+    matches nothing live and commits nothing. A later
+    incremental_update of the same (conv_id, turn_idx) re-indexes it as
+    a NEW doc (the anti-join anchor is the LIVE view)."""
+    manifest = _read_manifest(out_dir)
+    if manifest.get("stage_docs", {}).get("status") != "DONE":
+        raise ValueError(f"no complete index at {out_dir}; run build_index first")
+    version = manifest["stage_docs"].get("index_version", "v1")
+    n_buckets = resolve_n_buckets(spark, out_dir, None)
+    require_staging(out_dir, manifest)
+    manifest = _recover_uncommitted(spark, out_dir, manifest, n_buckets)
+
+    on = ["conv_id", "turn_idx"] if "turn_idx" in keys.columns else ["conv_id"]
+    from .deletes import deleted_ids_df
+
+    existing = spark.read.parquet(f"{out_dir}/documents")
+    prior_del = deleted_ids_df(spark, out_dir)
+    live = (
+        existing.join(prior_del, "doc_id", "left_anti")
+        if prior_del is not None
+        else existing
+    )
+    # localCheckpoint: the commit below mutates the vector this plan
+    # reads through (same self-dependency rule as the upsert anti-join)
+    doomed = (
+        live.join(keys.select(*on).distinct(), on, "left_semi")
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    n = doomed.count()
+    if n == 0:
+        return {"deleted_docs": 0}
+    _commit_deletes_only(
+        spark, out_dir, manifest, doomed, n, version, n_buckets
+    )
+    return {"deleted_docs": n}
+
+
 def incremental_update(
     spark: SparkSession,
     new_transcripts: DataFrame,
@@ -508,42 +613,10 @@ def incremental_update(
             # deletes-only commit: every changed key's new text is
             # hygiene-blank — the reference's "page now empty" re-index
             # (deleteAllByPageId wipes the rows, the re-add indexes
-            # nothing). No staging/postings/documents write happens, so
-            # the part's manifest row can't be the commit marker; a
-            # dedicated `deletes_{P}` row is, written LAST. Protocol:
-            # delete batch -> stats rewrite -> marker -> snapshot. A
-            # crash before the marker leaves an unmarked batch that
-            # _recover_uncommitted's sweep rolls back (recomputing stats,
-            # since the crash may have landed after the rewrite).
-            part_new = _next_part_id(out_dir, manifest)
-            write_delete_batch(replaced, out_dir, part_new)
-            new_epoch = int(time.time() * 1e6)
-            n_docs, _ = _recompute_stats(
-                spark, out_dir, version, n_buckets, stats_epoch=new_epoch
-            )
-            now = time.time()
-            _write_manifest_row(
-                out_dir,
-                f"deletes_{part_new:05d}",
-                {
-                    "partition_id": part_new,
-                    "status": "DONE",
-                    "started_ts": now,
-                    "finished_ts": now,
-                    "index_version": version,
-                    "stats_epoch": new_epoch,
-                    "replaced_docs": n_replaced,
-                    "deletes_only": True,
-                },
-            )
-            row = dict(manifest["stage_docs"])
-            row.update({"n_docs": n_docs})
-            _write_manifest_row(out_dir, "stage_docs", row)
-            from .snapshots import commit_snapshot
-
-            commit_snapshot(
-                spark, out_dir, "delete",
-                stats_epoch=new_epoch, n_docs=n_docs,
+            # nothing).
+            _commit_deletes_only(
+                spark, out_dir, manifest, replaced, n_replaced,
+                version, n_buckets,
             )
         return {"new_docs": 0, "new_parts": 0, "replaced_docs": n_replaced}
 

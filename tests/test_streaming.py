@@ -94,3 +94,33 @@ def test_streaming_batches_commit_snapshots(spark, stream_setup):
     asof = SearchEngine(spark, idx, snapshot_id=snaps[0]["snapshot_id"])
     assert asof.n_docs == counts[0]
     assert asof.documents.count() == counts[0]
+
+
+def test_streaming_upsert_mode(spark, tmp_path):
+    """stream_transcripts(upsert=True) passes REPLACE semantics through
+    to every micro-batch: a corrected version of an already-streamed
+    turn replaces the old doc (delete vector + new part), so the stream
+    can carry CDC-style updates, not just inserts."""
+    idx = str(tmp_path / "idx")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pdf = make_transcripts(n_conversations=8, seed=34)
+    sdf = spark.createDataFrame(
+        pdf.assign(ts=pdf["ts"].astype("datetime64[us]"))
+    )
+    build_index(spark, sdf, idx, n_parts=1, resume=False)
+    n0 = SearchEngine(spark, idx).n_docs
+
+    nonblank = pdf["text"].notna() & (pdf["text"].str.strip() != "")
+    fix = pdf[nonblank].head(3).copy()
+    fix["text"] = "zzcorrected replacement text " + fix["text"]
+    _write(fix, str(src / "fix1.parquet"))
+    q = stream_transcripts(
+        spark, str(src), str(tmp_path / "ckpt"), idx, upsert=True
+    )
+    q.awaitTermination(120)
+
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == n0  # replaced, not duplicated
+    assert eng._deleted is not None and eng._deleted.size == 3
+    assert eng.search_ids("zzcorrected", k=10).count() == 3

@@ -288,3 +288,93 @@ def test_recovery_sweeps_unmarked_deletes_only_batch(spark, tmp_path):
     eng = SearchEngine(spark, idx)
     assert eng.n_docs == n0 and eng._deleted is None
     assert _keyed_scores(spark, eng) == probe
+
+
+def test_delete_docs_by_conv_and_turn(spark, tmp_path):
+    """delete_docs: conv-level keys wipe every live turn of the convs;
+    (conv, turn) keys wipe exactly those turns. Scores afterwards match a
+    fresh build over the surviving corpus; re-delete is a no-op; a later
+    incremental_update re-indexes a deleted key as a NEW doc."""
+    from search_engine_spark.operators.incremental import delete_docs
+
+    pdf = make_transcripts(n_conversations=12, seed=23)
+    nonblank = pdf["text"].notna() & (pdf["text"].str.strip() != "")
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf), idx, n_parts=2, resume=False)
+
+    # conv-level: drop conv-000001 entirely
+    res = delete_docs(
+        spark, spark.createDataFrame([("conv-000001",)], "conv_id string"),
+        idx,
+    )
+    want_conv = int((nonblank & (pdf["conv_id"] == "conv-000001")).sum())
+    assert res == {"deleted_docs": want_conv} and want_conv > 0
+
+    # turn-level: drop one specific surviving turn
+    victim = pdf[nonblank & (pdf["conv_id"] == "conv-000002")].iloc[0]
+    res2 = delete_docs(
+        spark,
+        spark.createDataFrame(
+            [(victim["conv_id"], int(victim["turn_idx"]))],
+            "conv_id string, turn_idx int",
+        ),
+        idx,
+    )
+    assert res2 == {"deleted_docs": 1}
+    assert len(delete_batch_dirs(idx)) == 2
+    snaps = list_snapshots(idx)
+    assert [s["operation"] for s in snaps[-2:]] == ["delete", "delete"]
+
+    # equivalence with a fresh build over the survivors
+    keep = pdf[
+        (pdf["conv_id"] != "conv-000001")
+        & ~(
+            (pdf["conv_id"] == victim["conv_id"])
+            & (pdf["turn_idx"] == victim["turn_idx"])
+        )
+    ]
+    ref = str(tmp_path / "ref")
+    build_index(spark, _to_sdf(spark, keep), ref, n_parts=2, resume=False)
+    eng, ref_eng = SearchEngine(spark, idx), SearchEngine(spark, ref)
+    assert eng.n_docs == ref_eng.n_docs
+    assert _keyed_scores(spark, eng) == _keyed_scores(spark, ref_eng)
+
+    # idempotent: nothing live matches any more
+    res3 = delete_docs(
+        spark, spark.createDataFrame([("conv-000001",)], "conv_id string"),
+        idx,
+    )
+    assert res3 == {"deleted_docs": 0}
+    assert len(delete_batch_dirs(idx)) == 2  # no empty batch committed
+
+    # a deleted key can come back as a NEW doc via plain insert
+    back = pdf[
+        (pdf["conv_id"] == victim["conv_id"])
+        & (pdf["turn_idx"] == victim["turn_idx"])
+    ]
+    res4 = incremental_update(spark, _to_sdf(spark, back), idx)
+    assert res4["new_docs"] == 1
+    eng2 = SearchEngine(spark, idx)
+    assert eng2.n_docs == ref_eng.n_docs + 1
+
+
+def test_api_delete_batch(spark, tmp_path):
+    from search_engine_spark.api import EngineAPI
+
+    pdf = make_transcripts(n_conversations=6, seed=24)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf), idx, n_parts=1, resume=False)
+    api = EngineAPI(spark, idx)
+    n0 = api.statistics()["total_docs"] if "total_docs" in api.statistics() else None
+    res = api.delete_batch(
+        spark.createDataFrame([("conv-000000",)], "conv_id string")
+    )
+    assert res["result"] is True and res["deleted_docs"] > 0
+    # the facade's memoized engine was invalidated: fresh searches see
+    # the deletion immediately
+    out = api.search("conv")  # any query; just exercise the envelope
+    assert out["result"] is True
+    nonblank = pdf["text"].notna() & (pdf["text"].str.strip() != "")
+    want = int((nonblank & (pdf["conv_id"] != "conv-000000")).sum())
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == want
