@@ -165,17 +165,23 @@ class EngineAPI:
         return {"result": True, **res}
 
     # -- DELETE /api/documents ---------------------------------------------
-    def delete_batch(self, keys: DataFrame) -> dict[str, Any]:
+    def delete_batch(
+        self, keys: DataFrame, *, tombstone: bool = True
+    ) -> dict[str, Any]:
         """Targeted deletion (the standalone half of the reference's
         deleteAllByPageId, IndexationServiceImpl.java:119-123 — e.g. a
         takedown request): ``keys`` carries ``conv_id`` (whole
         conversations) or (``conv_id``, ``turn_idx``) (exact turns).
         Merge-on-read — one deletes-only snapshot commit; the next
-        compact() physically drops the rows."""
+        compact() physically drops the rows. ``tombstone`` (default on)
+        blocks the keys from ever being re-ingested — replay-proof
+        takedown; pass False for a soft delete."""
         from .operators.incremental import delete_docs
 
         try:
-            res = delete_docs(self.spark, keys, self.index_dir)
+            res = delete_docs(
+                self.spark, keys, self.index_dir, tombstone=tombstone
+            )
         except ValueError as ex:
             return {"result": False, "error": str(ex)}
         self.invalidate()

@@ -86,17 +86,53 @@ def load_deleted_ids(
     return ids
 
 
+def committed_delete_batch_dirs(out_dir: str) -> list[str]:
+    """Batch dirs whose COMMIT MARKER exists — the posting part's
+    manifest row (normal upsert batches) or the deletes_{P} row
+    (deletes-only commits). READERS must use this list: an on-disk batch
+    without its marker is an in-flight or crashed commit whose deletes
+    are not state yet (masking them with pre-commit stats would score
+    with an n_docs/df that counts docs no query can surface). Stats
+    REWRITES inside a commit use the unfiltered list instead — they run
+    after the batch lands and before its marker, by design."""
+    from .index_build import _read_manifest
+
+    manifest = _read_manifest(out_dir)
+    return [
+        name
+        for name in delete_batch_dirs(out_dir)
+        if f"part_{int(name.rsplit('_', 1)[1]):05d}" in manifest
+        or f"deletes_{int(name.rsplit('_', 1)[1]):05d}" in manifest
+    ]
+
+
 def write_delete_batch(
     replaced: DataFrame, out_dir: str, part_id: int
 ) -> str:
     """Persist one upsert batch's replaced doc_ids, keyed to the posting
-    part that carries their replacements. Overwrite of its own directory
-    (idempotent on replay, atomic locally)."""
+    part that carries their replacements. Written to a _tmp_ sibling and
+    renamed in (atomic locally): a crash mid-write leaves only _tmp_
+    debris the batch glob never matches (and recovery sweeps), never a
+    half-written batch dir that would brick deleted_ids_df with
+    UNABLE_TO_INFER_SCHEMA. Idempotent on replay."""
     name = batch_dir_name(part_id)
-    replaced.select("doc_id").write.mode("overwrite").parquet(
-        str(_root(out_dir) / name)
-    )
+    root = _root(out_dir)
+    tmp = root / f"_tmp_{name}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    replaced.select("doc_id").write.mode("overwrite").parquet(str(tmp))
+    final = root / name
+    shutil.rmtree(final, ignore_errors=True)
+    tmp.rename(final)
     return name
+
+
+def sweep_tmp_debris(out_dir: str) -> None:
+    """Drop crashed write_delete_batch _tmp_ dirs (harmless but untidy)."""
+    root = _root(out_dir)
+    if not root.exists():
+        return
+    for p in root.glob("_tmp_batch_part_*"):
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def drop_delete_batch(out_dir: str, part_id: int) -> None:
@@ -110,3 +146,101 @@ def purge_deletes(out_dir: str) -> None:
     """Drop the whole vector — ONLY legal after a rewrite that removed
     the deleted rows from staging/postings/documents (compact_index)."""
     shutil.rmtree(_root(out_dir), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Tombstones — replay protection for takedowns.
+#
+# The ingest anti-join anchors on the LIVE doc view (a deleted key can be
+# legitimately re-indexed later), which means a REPLAYED batch — e.g. a
+# streaming micro-batch whose checkpoint never committed — would silently
+# resurrect a key that delete_docs removed in between. For takedown /
+# right-to-be-forgotten deletions that is precisely the failure that must
+# never happen, so delete_docs(tombstone=True, the default) also records
+# the keys here and every ingest path drops incoming rows that match a
+# tombstone BEFORE the anti-join. turn_idx NULL tombstones block the whole
+# conversation. Tombstones are ingest policy, not read state: readers and
+# snapshots never consult them, and compaction keeps them.
+
+TOMBSTONES_DIR = "_tombstones"
+
+
+def _tomb_root(out_dir: str) -> Path:
+    return Path(out_dir) / TOMBSTONES_DIR
+
+
+def write_tombstones(keys: DataFrame, out_dir: str) -> None:
+    """Append takedown keys (conv_id, turn_idx — turn_idx NULL = the whole
+    conversation). Called BEFORE the delete commit so no crash ordering
+    leaves a window where a replay could re-add the key (the worst case
+    of a crash after this write is keys blocked but not yet deleted —
+    the caller retries delete_docs). Duplicate rows are harmless (the
+    filter is a semi-join)."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col("conv_id").cast("string").alias("conv_id")]
+    cols.append(
+        F.col("turn_idx").cast("int").alias("turn_idx")
+        if "turn_idx" in keys.columns
+        else F.lit(None).cast("int").alias("turn_idx")
+    )
+    keys.select(*cols).write.mode("append").parquet(str(_tomb_root(out_dir)))
+
+
+def tombstones_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The tombstone table, or None when no takedown was ever recorded
+    (the common case — ingest pays nothing)."""
+    root = _tomb_root(out_dir)
+    if not root.exists():
+        return None
+    return spark.read.parquet(str(root))
+
+
+def filter_tombstoned(incoming: DataFrame, tombs: DataFrame) -> DataFrame:
+    """Drop incoming transcript rows matching a tombstone: conv-level
+    rows (turn_idx NULL) block every turn of the conversation, turn-level
+    rows block exactly that key. Two broadcast-sized anti-joins."""
+    from pyspark.sql import functions as F
+
+    conv_level = (
+        tombs.filter(F.col("turn_idx").isNull()).select("conv_id").distinct()
+    )
+    turn_level = (
+        tombs.filter(F.col("turn_idx").isNotNull())
+        .select("conv_id", "turn_idx")
+        .distinct()
+    )
+    return incoming.join(conv_level, "conv_id", "left_anti").join(
+        turn_level, ["conv_id", "turn_idx"], "left_anti"
+    )
+
+
+def clear_tombstones(
+    spark: SparkSession, keys: DataFrame, out_dir: str
+) -> int:
+    """Deliberately lift takedowns (e.g. a legal hold expired) so the
+    keys can be re-indexed: rewrite the tombstone table without rows
+    matching ``keys`` (same column contract as delete_docs). Rename-swap
+    (crash-safe like every stats rewrite). Returns rows removed."""
+    from pyspark.sql import functions as F
+
+    tombs = tombstones_df(spark, out_dir)
+    if tombs is None:
+        return 0
+    on = (
+        ["conv_id", "turn_idx"] if "turn_idx" in keys.columns else ["conv_id"]
+    )
+    keep = tombs.join(keys.select(*on).distinct(), on, "left_anti")
+    before = tombs.count()
+    after = keep.count()
+    if after == before:
+        return 0
+    root = _tomb_root(out_dir)
+    tmp, old = Path(f"{root}_new"), Path(f"{root}_old")
+    shutil.rmtree(tmp, ignore_errors=True)
+    keep.write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(old, ignore_errors=True)
+    root.rename(old)
+    tmp.rename(root)
+    shutil.rmtree(old, ignore_errors=True)
+    return before - after

@@ -120,13 +120,20 @@ def resolve_n_buckets(spark: SparkSession, out_dir: str,
 
 def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
                      n_buckets: int,
-                     stats_epoch: int | None = None) -> tuple[int, float]:
+                     stats_epoch: int | None = None,
+                     delete_dirs: list[str] | None = None) -> tuple[int, float]:
     """Global stats from the durable fact tables (drift-free df —
     SURVEY.md §7.5). Returns (n_docs, avgdl). ``stats_epoch`` stamps the
     rewrite; part manifest rows carrying a DIFFERENT epoch are thereby
     marked as encoded under older stats, which disables the query
     engine's stored-block_max_score pruning until a compaction
-    re-encodes them (query.py:_block_bound_col)."""
+    re-encodes them (query.py:_block_bound_col).
+
+    ``delete_dirs`` pins the delete-vector batch list the stats subtract
+    (recovery's sweep passes the committed set so an about-to-be-rolled-
+    back batch never poisons the rewrite); None = every batch on disk
+    (the in-commit default: the new batch has landed, its marker has
+    not)."""
     from .deletes import deleted_ids_df
 
     stats_path = f"{out_dir}/term_stats"
@@ -138,7 +145,7 @@ def _recompute_stats(spark: SparkSession, out_dir: str, version: str,
     # the ID-SPACE size (max assigned + 1, deleted ids included) — the
     # layout quantity part-range math needs, which diverges from n_docs
     # once upserts delete docs.
-    del_df = deleted_ids_df(spark, out_dir)
+    del_df = deleted_ids_df(spark, out_dir, delete_dirs)
     raw_live = (
         raw.join(del_df, "doc_id", "left_anti") if del_df is not None else raw
     )
@@ -215,35 +222,52 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
                          manifest: dict, n_buckets: int) -> dict:
     """See module docstring: delete or finish any staging part whose commit
     marker (manifest part row) is missing."""
-    # deletes-only commits (blank-new-text upserts) have no staging part
-    # to classify; their commit marker is the deletes_{P} manifest row.
-    # An unmarked batch whose part id has no staging dir either is
-    # deletes-only crash debris: roll it back (the docs it would have
-    # deleted live again) and recompute stats — the crash may have landed
-    # AFTER the stats rewrite, which already subtracted the dropped batch.
-    from .deletes import delete_batch_dirs, drop_delete_batch
+    # deletes-only commits (blank-new-text upserts / delete_docs) have no
+    # staging part to classify; their commit marker is the deletes_{P}
+    # manifest row. An unmarked batch whose part id has no staging dir
+    # either is deletes-only crash debris: roll it back (the docs it
+    # would have deleted live again). Order matters — the crash may have
+    # landed AFTER the stats rewrite (which already subtracted the doomed
+    # batch), so stats are restored FIRST, pinned to the surviving batch
+    # set, and the irreversible rmtree runs last: a crash anywhere in
+    # between re-enters this branch and idempotently repeats it (the
+    # reverse order would leave a window where the batch is gone but the
+    # stats still exclude its docs, with nothing left to re-trigger the
+    # repair).
+    from .deletes import (
+        delete_batch_dirs,
+        drop_delete_batch,
+        sweep_tmp_debris,
+    )
 
+    sweep_tmp_debris(out_dir)  # crashed write_delete_batch _tmp_ dirs
     staged_now = _staging_part_ids(out_dir)
-    swept = False
+    orphan_batches: list[int] = []
+    keep_dirs: list[str] = []
     for name in delete_batch_dirs(out_dir):
         p = int(name.rsplit("_", 1)[1])
-        if (
-            f"part_{p:05d}" in manifest
-            or f"deletes_{p:05d}" in manifest
-            or p in staged_now  # normal-batch debris: classified below
-        ):
-            continue
-        drop_delete_batch(out_dir, p)
-        swept = True
-    if swept:
+        if f"part_{p:05d}" in manifest or f"deletes_{p:05d}" in manifest:
+            keep_dirs.append(name)  # committed
+        elif p in staged_now:
+            # normal-batch debris: case (a)/(b) below decides; its
+            # deletes stay OUT of this restore either way — a case-(a)
+            # crash happened before its stats rewrite, and a case-(b)
+            # finish recomputes with the full on-disk set afterwards
+            pass
+        else:
+            orphan_batches.append(p)
+    if orphan_batches:
         version = manifest["stage_docs"].get("index_version", "v1")
         n_docs, _ = _recompute_stats(
             spark, out_dir, version, n_buckets,
             stats_epoch=int(time.time() * 1e6),
+            delete_dirs=keep_dirs,
         )
         stage = dict(manifest["stage_docs"])
         stage["n_docs"] = n_docs
         _write_manifest_row(out_dir, "stage_docs", stage)
+        for p in orphan_batches:
+            drop_delete_batch(out_dir, p)
         manifest = _read_manifest(out_dir)
     committed = {
         int(r.get("partition_id", -1))
@@ -301,8 +325,6 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
             # treat those turns as indexed (with no postings) forever.
             # The batch's delete vector rolls back with it — the docs it
             # would have replaced live again (their replacement is gone).
-            from .deletes import drop_delete_batch
-
             shutil.rmtree(staging_part, ignore_errors=True)
             shutil.rmtree(postings_part, ignore_errors=True)
             drop_delete_batch(out_dir, p)
@@ -435,6 +457,8 @@ def delete_docs(
     spark: SparkSession,
     keys: DataFrame,
     out_dir: str,
+    *,
+    tombstone: bool = True,
 ) -> dict:
     """Targeted deletion — the standalone half of the reference's
     deleteAllByPageId (IndexationServiceImpl.java:119-123; wiping a
@@ -448,9 +472,17 @@ def delete_docs(
     doc_ids join the delete vector in one deletes-only commit; nothing in
     staging/postings/documents is touched until the next compact_index
     physically drops the rows. Idempotent — re-deleting the same keys
-    matches nothing live and commits nothing. A later
-    incremental_update of the same (conv_id, turn_idx) re-indexes it as
-    a NEW doc (the anti-join anchor is the LIVE view)."""
+    matches nothing live and commits nothing.
+
+    ``tombstone=True`` (default) also records the keys in the tombstone
+    table (written FIRST, so no crash window lets a replay slip by):
+    every future ingest drops incoming rows matching them, which is what
+    makes the takedown hold against REPLAYED batches — e.g. a streaming
+    micro-batch whose checkpoint never committed would otherwise
+    silently re-index the removed key. Lift with
+    deletes.clear_tombstones. ``tombstone=False`` is the soft delete:
+    a later incremental_update of the same (conv_id, turn_idx)
+    re-indexes it as a NEW doc (the anti-join anchor is the LIVE view)."""
     manifest = _read_manifest(out_dir)
     if manifest.get("stage_docs", {}).get("status") != "DONE":
         raise ValueError(f"no complete index at {out_dir}; run build_index first")
@@ -460,7 +492,10 @@ def delete_docs(
     manifest = _recover_uncommitted(spark, out_dir, manifest, n_buckets)
 
     on = ["conv_id", "turn_idx"] if "turn_idx" in keys.columns else ["conv_id"]
-    from .deletes import deleted_ids_df
+    from .deletes import deleted_ids_df, write_tombstones
+
+    if tombstone:
+        write_tombstones(keys, out_dir)
 
     existing = spark.read.parquet(f"{out_dir}/documents")
     prior_del = deleted_ids_df(spark, out_dir)
@@ -558,6 +593,13 @@ def incremental_update(
     # appends to `documents`, and a lazily re-evaluated anti-join against
     # the just-appended table would silently see its own output (classic
     # self-dependency) — the batch must be materialized BEFORE any write
+    # takedown tombstones (operators/deletes.py): keys removed by
+    # delete_docs(tombstone=True) must never come back via a replayed
+    # batch — drop them from the incoming side BEFORE any anti-join,
+    # in both modes. None (no takedown ever) costs nothing.
+    from .deletes import filter_tombstoned, tombstones_df
+
+    tombs = tombstones_df(spark, out_dir)
     if upsert:
         # changed-detection runs BEFORE hygiene: a key whose NEW text is
         # blank must still DELETE the old doc (the reference's re-index
@@ -565,39 +607,57 @@ def incremental_update(
         # hygiene filter only gates what gets (re-)indexed, never what
         # gets replaced
         incoming_all = conform_transcripts(new_transcripts)
-        live_keyed = existing_live.select(
-            "conv_id",
-            "turn_idx",
-            F.col("doc_id").alias("_old_id"),
-            F.col("text").alias("_old_text"),
+        if tombs is not None:
+            incoming_all = filter_tombstoned(incoming_all, tombs)
+        # the live side is AGGREGATED per key: duplicate (conv_id,
+        # turn_idx) keys are legal in the doc store (module docstring —
+        # batch-internal duplicates each get a doc_id), so a plain join
+        # would fan incoming rows out and index one row several times.
+        # One group row per key keeps the join 1:1 on the live side; a
+        # key counts as unchanged ONLY when it maps to exactly one live
+        # doc with the same text — any other live set (text differs, or
+        # the key holds several docs) is replaced wholesale, which is
+        # literally deleteAllByPageId + re-add collapsing a page to its
+        # incoming rows.
+        live_keyed = existing_live.groupBy("conv_id", "turn_idx").agg(
+            F.collect_list("doc_id").alias("_old_ids"),
+            F.count("*").alias("_n_old"),
+            F.min("text").alias("_old_text"),
         )
-        j = incoming_all.join(live_keyed, ["conv_id", "turn_idx"], "left")
-        # batch = brand-new keys + text-changed keys (indexed as new
-        # docs), hygiene-gated like any build input
-        fresh = (
-            j.filter(
-                (
-                    F.col("_old_id").isNull()
-                    | ~F.col("text").eqNullSafe(F.col("_old_text"))
-                )
-                & nonblank_text()
+        # ONE materialized join: fresh/replaced/counts all derive from
+        # this checkpoint, so the incoming-vs-live comparison runs as a
+        # single Spark job and nothing below re-reads `documents`
+        # through a live plan (self-dependency rule, see comment above)
+        j = (
+            incoming_all.join(live_keyed, ["conv_id", "turn_idx"], "left")
+            .withColumn(
+                "_changed",
+                F.col("_n_old").isNotNull()
+                & ~(
+                    (F.col("_n_old") == 1)
+                    & F.col("text").eqNullSafe(F.col("_old_text"))
+                ),
             )
-            .drop("_old_id", "_old_text")
             .localCheckpoint()
         )
+        # batch = brand-new keys + changed keys (indexed as new docs),
+        # hygiene-gated like any build input
+        fresh = j.filter(
+            (F.col("_n_old").isNull() | F.col("_changed"))
+            & nonblank_text()
+        ).select(*incoming_all.columns)
         replaced = (
-            j.filter(
-                F.col("_old_id").isNotNull()
-                & ~F.col("text").eqNullSafe(F.col("_old_text"))
-            )
-            .select(F.col("_old_id").alias("doc_id"))
+            j.filter(F.col("_changed"))
+            .select(F.explode("_old_ids").alias("doc_id"))
             .distinct()
-            .localCheckpoint()
         )
         n_replaced = replaced.count()
     else:
+        incoming_ins = clean_transcripts(new_transcripts)
+        if tombs is not None:
+            incoming_ins = filter_tombstoned(incoming_ins, tombs)
         fresh = (
-            clean_transcripts(new_transcripts).join(
+            incoming_ins.join(
                 existing_live.select("conv_id", "turn_idx"),
                 ["conv_id", "turn_idx"],
                 "left_anti",

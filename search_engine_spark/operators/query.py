@@ -171,14 +171,18 @@ class SearchEngine:
         # score nor surface. Pinned snapshots load THEIR vector (a
         # snapshot taken before an upsert correctly still sees the old
         # doc). None (the common case) costs nothing anywhere.
-        from .deletes import load_deleted_ids
+        from .deletes import committed_delete_batch_dirs, load_deleted_ids
 
+        # HEAD reads apply only COMMITTED batches (marker row present):
+        # an in-flight/crashed batch's deletes are not state yet, and
+        # masking them against pre-commit stats would score with an
+        # n_docs/df counting docs that can never surface
         self._deleted = load_deleted_ids(
             spark,
             index_dir,
             self.snapshot.get("delete_dirs", [])
             if self.snapshot is not None
-            else None,
+            else committed_delete_batch_dirs(index_dir),
         )
         if self._deleted is not None:
             ddf = spark.createDataFrame(

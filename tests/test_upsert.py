@@ -16,6 +16,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.operators.compaction import compact_index
 from search_engine_spark.operators.deletes import (
@@ -310,7 +311,8 @@ def test_delete_docs_by_conv_and_turn(spark, tmp_path):
     want_conv = int((nonblank & (pdf["conv_id"] == "conv-000001")).sum())
     assert res == {"deleted_docs": want_conv} and want_conv > 0
 
-    # turn-level: drop one specific surviving turn
+    # turn-level: drop one specific surviving turn — SOFT delete
+    # (tombstone=False) because the end of this test re-adds the key
     victim = pdf[nonblank & (pdf["conv_id"] == "conv-000002")].iloc[0]
     res2 = delete_docs(
         spark,
@@ -319,6 +321,7 @@ def test_delete_docs_by_conv_and_turn(spark, tmp_path):
             "conv_id string, turn_idx int",
         ),
         idx,
+        tombstone=False,
     )
     assert res2 == {"deleted_docs": 1}
     assert len(delete_batch_dirs(idx)) == 2
@@ -378,3 +381,80 @@ def test_api_delete_batch(spark, tmp_path):
     want = int((nonblank & (pdf["conv_id"] != "conv-000000")).sum())
     eng = SearchEngine(spark, idx)
     assert eng.n_docs == want
+
+
+def test_tombstone_blocks_replayed_batches(spark, tmp_path):
+    """Takedown must hold against replays: after delete_docs(tombstone=
+    True), re-running the original ingest batch (the crashed-checkpoint
+    streaming case) re-adds NOTHING — in insert mode and upsert mode
+    alike — until the tombstone is deliberately cleared."""
+    from search_engine_spark.operators.deletes import (
+        clear_tombstones,
+        tombstones_df,
+    )
+    from search_engine_spark.operators.incremental import delete_docs
+
+    pdf = make_transcripts(n_conversations=6, seed=25)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf), idx, n_parts=1, resume=False)
+    victim_conv = "conv-000002"
+    res = delete_docs(
+        spark,
+        spark.createDataFrame([(victim_conv,)], "conv_id string"),
+        idx,
+    )
+    assert res["deleted_docs"] > 0
+    n_after = SearchEngine(spark, idx).n_docs
+
+    # replay the FULL original batch — both modes must be no-ops for the
+    # taken-down conversation
+    r1 = incremental_update(spark, _to_sdf(spark, pdf), idx)
+    assert r1["new_docs"] == 0
+    r2 = incremental_update(spark, _to_sdf(spark, pdf), idx, upsert=True)
+    assert r2 == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == n_after
+    assert eng.documents.filter(
+        F.col("conv_id") == victim_conv
+    ).count() == 0
+
+    # deliberate lift: clear the tombstone, then the key re-indexes
+    removed = clear_tombstones(
+        spark,
+        spark.createDataFrame([(victim_conv,)], "conv_id string"),
+        idx,
+    )
+    assert removed > 0 and tombstones_df(spark, idx).count() == 0
+    r3 = incremental_update(spark, _to_sdf(spark, pdf), idx)
+    assert r3["new_docs"] == res["deleted_docs"]
+
+
+def test_upsert_collapses_duplicate_live_keys(spark, tmp_path):
+    """The doc store legally holds duplicate (conv_id, turn_idx) keys
+    (batch-internal dups each get a doc_id). An upsert of such a key
+    must not fan out — ALL old docs are replaced by exactly the incoming
+    rows (deleteAllByPageId + re-add collapses the page)."""
+    pdf = make_transcripts(n_conversations=4, seed=26)
+    nonblank = pdf["text"].notna() & (pdf["text"].str.strip() != "")
+    key_row = pdf[nonblank].iloc[0]
+    dup = key_row.to_frame().T.copy()
+    dup["text"] = "a different duplicate text for the same key"
+    import pandas as pd
+
+    corrupted = pd.concat([pdf, dup], ignore_index=True)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, corrupted), idx, n_parts=1,
+                resume=False)
+    n0 = SearchEngine(spark, idx).n_docs
+
+    fix = key_row.to_frame().T.copy()
+    fix["text"] = "zzcollapsed the canonical text"
+    res = incremental_update(spark, _to_sdf(spark, fix), idx, upsert=True)
+    # ONE new doc replaces BOTH old docs for the key
+    assert res["new_docs"] == 1 and res["replaced_docs"] == 2
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == n0 - 1
+    assert eng.search_ids("zzcollapsed", k=5).count() == 1
+    # replay: single live doc with same text -> unchanged
+    res2 = incremental_update(spark, _to_sdf(spark, fix), idx, upsert=True)
+    assert res2 == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
