@@ -2941,6 +2941,115 @@ FROM ex
 """
 
 
+# 32 analyzer-fixed-point tokens (no stopwords, no lemma rewrites), so the
+# planted boilerplate header IS the first CHUNK_SIZE-token window verbatim
+CHUNK_BOILER = " ".join(
+    ("table scan merge batch window group filter sort "
+     "join value column row data stream vector query").split() * 2
+)
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Cross-document chunk dedup — C4/RefinedWeb-style removal of text
+    spans duplicated ACROSS documents (page headers, navigation chrome,
+    license boilerplate), the line-level counterpart of doc-level
+    dedup_exact. The corpus has no shared spans by construction, so a
+    32-token boilerplate header is planted on every doc_id % 4 == 0 doc
+    (the realistic shape: the same chrome prepended to many pages);
+    texts are split into DISJOINT CHUNK_SIZE-token lemma windows, each
+    window keyed by md5 of its joined lemmas, and only the FIRST
+    occurrence corpus-wide (by doc_id, chunk_id) survives. Returns
+    per-doc (n_chunks, kept_chunks) — every planted doc after the first
+    shows kept < n: exactly one boilerplate copy survives the corpus.
+    Plan: per-row explode/hash (no shuffle) -> ONE hash-partitioned
+    window (the canonical dedup shuffle; at 100 TB this is the same
+    exchange dedup_exact pays, on chunk rows instead of docs) -> doc_id
+    agg. Nothing pairwise, nothing quadratic."""
+    C = CHUNK_SIZE
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(CHUNK_BOILER + " "),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    base = src.select(
+        "doc_id", terms_col(F.col("text")).alias("terms")
+    ).withColumn("n", F.size("terms").cast("long")).filter(F.col("n") > 0)
+    ch = base.withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((F.col("n") + C - 1) / F.lit(C)).cast("long") - 1,
+            )
+        ),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.expr(f"slice(terms, chunk_id * {C} + 1, {C})")
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_chunks"),
+        )
+    )
+
+
+def _sql_chunk_dedup() -> str:
+    c = CHUNK_SIZE
+    return f"""
+WITH src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN '{CHUNK_BOILER} ' || COALESCE(text, '')
+                ELSE text END AS text
+    FROM documents
+),
+lem AS (SELECT doc_id, {lemmas_list_sql()} AS lem FROM src),
+tt AS (
+    SELECT doc_id, lem, CAST(len(lem) AS BIGINT) AS n
+    FROM lem WHERE len(lem) > 0
+),
+ex AS (
+    SELECT doc_id, n, lem,
+           unnest(range(0, (n + {c} - 1) // {c})) AS chunk_id
+    FROM tt
+),
+ch AS (
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           md5(array_to_string(
+               list_slice(lem, chunk_id * {c} + 1,
+                          least((chunk_id + 1) * {c}, n)), ' ')) AS h
+    FROM ex
+),
+mk AS (
+    SELECT doc_id, chunk_id,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+    FROM ch
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_chunks
+FROM mk GROUP BY doc_id
+"""
+
+
 SHUFFLE_EPOCH = 1     # reshuffle seed: bumping it permutes every shard's order
 SHUFFLE_SHARDS = 8    # order is defined WITHIN a shard — never a global sort
 
@@ -3679,6 +3788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_snapshot_topk": q_engine_snapshot_topk,
     "engine_upsert_stats": q_engine_upsert_stats,
     "engine_delete_stats": q_engine_delete_stats,
+    "chunk_dedup": q_chunk_dedup,
     # -- last gated in r2 (fell past the r3 window unchanged) --
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
@@ -3696,7 +3806,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_docs": q_clean_docs,
     "tokenize_tf": q_tokenize_tf,
     "term_stats": q_term_stats,
-    "corpus_stats": q_corpus_stats,
     "engine_bm25_topk": q_engine_bm25_topk,
     "engine_rare_topk": q_engine_rare_topk,
     "engine_relevance_ref": q_engine_relevance_ref,
@@ -3719,6 +3828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     # ---- driver window boundary (entries below are green in BOTH r2 and
     #      r3, unchanged since; rotated out per the ordering policy) ----
+    "corpus_stats": q_corpus_stats,
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "ivf_recall": q_ivf_recall,
     "phrase_match": q_phrase_match,
@@ -3797,6 +3907,7 @@ ORACLES: dict[str, str] = {
     "engine_delete_stats": f"""WITH ddocs AS (
     SELECT * FROM documents WHERE doc_id % 9 <> 4
 ), {_base_ctes("ddocs")} SELECT term, df, cf FROM dft""",
+    "chunk_dedup": _sql_chunk_dedup(),
     # salted hot-term build vs the plain SQL scorer over the derived corpus
     "engine_skew_topk": _topk_sql(
         list(QUERY_TERMS) + [SKEW_TERM], "bm25",
