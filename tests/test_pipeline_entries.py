@@ -235,3 +235,64 @@ def test_pii_scrub_detects_and_redacts(spark, tmp_path):
     assert "bob@test.org" not in got.loc[1, "clean_text"]
     # clean doc passes through verbatim
     assert got.loc[2, "clean_text"] == "nothing sensitive at all"
+
+
+def test_chunk_dedup_identical_docs(spark, tmp_path):
+    """All-identical multi-chunk docs: only the FIRST doc keeps its
+    chunks; every later copy drops all of them (its windows are exact
+    duplicates of doc 0's). Spark == DuckDB on the adversarial corpus."""
+    # 70 distinct filler words -> 3 chunks of 32/32/6 tokens per doc
+    words = " ".join(f"w{i}x" for i in range(70))
+    sf = _write_docs(tmp_path, [words] * 5)
+    got = _assert_matches_oracle(
+        EQ.QUERIES["chunk_dedup"](spark, sf), sf, "chunk_dedup"
+    )
+    by_doc = {int(r.doc_id): (int(r.n_chunks), int(r.kept_chunks))
+              for r in got.itertuples(index=False)}
+    # docs 0 and 4 carry the planted boilerplate header (doc_id % 4 ==
+    # 0). The header is exactly CHUNK_SIZE tokens, so it occupies doc
+    # 0's window 0 whole and the shared text's windows stay ALIGNED
+    # across all five docs — doc 0 is the first occurrence of every
+    # window (header + all three text windows) and every other doc,
+    # headered or not, keeps nothing.
+    assert by_doc == {
+        0: (4, 4),  # header + text windows, all first occurrences
+        1: (3, 0),  # text windows == doc 0's windows 1-3
+        2: (3, 0),
+        3: (3, 0),
+        4: (4, 0),  # duplicate of doc 0 exactly
+    }
+
+
+def test_chunk_dedup_all_unique_keeps_everything(spark, tmp_path):
+    """Disjoint vocabularies -> zero cross-doc duplication: every chunk
+    survives except the planted boilerplate header duplicates."""
+    texts = [
+        " ".join(f"w{d}q{i} " for i in range(40)) for d in range(8)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = _assert_matches_oracle(
+        EQ.QUERIES["chunk_dedup"](spark, sf), sf, "chunk_dedup"
+    )
+    by_doc = {int(r.doc_id): (int(r.n_chunks), int(r.kept_chunks))
+              for r in got.itertuples(index=False)}
+    # docs 0 and 4 carry the planted header; 0 keeps it, 4 drops ONE
+    assert by_doc[4][0] - by_doc[4][1] == 1
+    assert all(kept == n for d, (n, kept) in by_doc.items() if d != 4)
+
+
+def test_sample_mix_deterministic_and_exact(spark, tmp_path):
+    """The mixing ledger is a pure function of (source, doc_id): two
+    runs agree row-for-row, rates stay on the 4-step ladder, and the
+    kept count equals a direct recount of the keep predicate."""
+    texts = [f"doc number {i} filler words" for i in range(60)]
+    sources = [f"s{i % 3}" for i in range(60)]
+    sf = _write_docs(tmp_path, texts, sources)
+    got = _assert_matches_oracle(
+        EQ.QUERIES["sample_mix"](spark, sf), sf, "sample_mix"
+    )
+    again = EQ.QUERIES["sample_mix"](spark, sf).toPandas()
+    assert _rows(got) == _rows(again)
+    assert set(got["rate_bp"]) <= {2500, 4375, 6250, 8125}
+    assert (got["n_kept"] <= got["n_docs"]).all()
+    assert int(got["n_docs"].sum()) == 60
