@@ -86,23 +86,37 @@ def load_deleted_ids(
     return ids
 
 
+def is_batch_committed(name: str, manifest: dict) -> bool:
+    """True iff a delete batch's COMMIT MARKER exists — the posting
+    part's manifest row (normal upsert batches) or the deletes_{P} row
+    (deletes-only commits). The ONE definition readers
+    (committed_delete_batch_dirs) and recovery
+    (incremental._recover_uncommitted's sweep) share; if they ever
+    disagreed on committed-ness, a batch could be masked by one and
+    rolled back by the other."""
+    p = int(name.rsplit("_", 1)[1])
+    return f"part_{p:05d}" in manifest or f"deletes_{p:05d}" in manifest
+
+
 def committed_delete_batch_dirs(out_dir: str) -> list[str]:
-    """Batch dirs whose COMMIT MARKER exists — the posting part's
-    manifest row (normal upsert batches) or the deletes_{P} row
-    (deletes-only commits). READERS must use this list: an on-disk batch
-    without its marker is an in-flight or crashed commit whose deletes
-    are not state yet (masking them with pre-commit stats would score
-    with an n_docs/df that counts docs no query can surface). Stats
-    REWRITES inside a commit use the unfiltered list instead — they run
-    after the batch lands and before its marker, by design."""
+    """Batch dirs whose commit marker exists (is_batch_committed).
+    READERS must use this list: an on-disk batch without its marker is
+    an in-flight or crashed commit whose deletes are not state yet
+    (masking them with pre-commit stats would score with an n_docs/df
+    that counts docs no query can surface). Stats REWRITES inside a
+    commit use the unfiltered list instead — they run after the batch
+    lands and before its marker, by design. Residual honesty: a crash
+    in the instant BETWEEN a finished stats rewrite and its marker json
+    leaves one window where stats exclude a batch this list omits —
+    healed by the next mutation's recovery; Iceberg's atomic snapshot
+    swap is what closes it fully on clusters."""
     from .index_build import _read_manifest
 
     manifest = _read_manifest(out_dir)
     return [
         name
         for name in delete_batch_dirs(out_dir)
-        if f"part_{int(name.rsplit('_', 1)[1]):05d}" in manifest
-        or f"deletes_{int(name.rsplit('_', 1)[1]):05d}" in manifest
+        if is_batch_committed(name, manifest)
     ]
 
 
@@ -169,6 +183,27 @@ def _tomb_root(out_dir: str) -> Path:
     return Path(out_dir) / TOMBSTONES_DIR
 
 
+def _heal_tombstones(out_dir: str) -> None:
+    """Repair a crashed clear_tombstones rename-swap. Tombstone keys
+    exist NOWHERE else (unlike stats, which any recovery recomputes), so
+    losing the table would silently drop all takedown replay protection
+    — every access path heals first. Cases: live dir present -> drop
+    stale _new/_old debris; live dir missing with _new present -> the
+    swap finished writing, complete it; missing with only _old ->
+    restore the pre-clear table (the interrupted clear never happened —
+    conservative: over-blocking, never under-blocking)."""
+    root = _tomb_root(out_dir)
+    new, old = Path(f"{root}_new"), Path(f"{root}_old")
+    if root.exists():
+        shutil.rmtree(new, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    elif new.exists():
+        new.rename(root)
+        shutil.rmtree(old, ignore_errors=True)
+    elif old.exists():
+        old.rename(root)
+
+
 def write_tombstones(keys: DataFrame, out_dir: str) -> None:
     """Append takedown keys (conv_id, turn_idx — turn_idx NULL = the whole
     conversation). Called BEFORE the delete commit so no crash ordering
@@ -178,6 +213,7 @@ def write_tombstones(keys: DataFrame, out_dir: str) -> None:
     filter is a semi-join)."""
     from pyspark.sql import functions as F
 
+    _heal_tombstones(out_dir)
     cols = [F.col("conv_id").cast("string").alias("conv_id")]
     cols.append(
         F.col("turn_idx").cast("int").alias("turn_idx")
@@ -190,6 +226,7 @@ def write_tombstones(keys: DataFrame, out_dir: str) -> None:
 def tombstones_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """The tombstone table, or None when no takedown was ever recorded
     (the common case — ingest pays nothing)."""
+    _heal_tombstones(out_dir)
     root = _tomb_root(out_dir)
     if not root.exists():
         return None
@@ -220,22 +257,43 @@ def clear_tombstones(
 ) -> int:
     """Deliberately lift takedowns (e.g. a legal hold expired) so the
     keys can be re-indexed: rewrite the tombstone table without rows
-    matching ``keys`` (same column contract as delete_docs). Rename-swap
-    (crash-safe like every stats rewrite). Returns rows removed."""
+    matching ``keys``. A conv_id-only frame lifts BOTH the conv-wide
+    tombstone and every turn-level one of that conversation; a
+    (conv_id, turn_idx) frame matches null-SAFELY, so passing the
+    tombstone table's own encoding (turn_idx NULL = conv-wide) lifts
+    exactly those rows. Rename-swap with self-healing on every access
+    (_heal_tombstones — tombstone keys are not recomputable, so a
+    crashed swap must never lose the table). Returns rows removed."""
     from pyspark.sql import functions as F
 
-    tombs = tombstones_df(spark, out_dir)
+    tombs = tombstones_df(spark, out_dir)  # heals first
     if tombs is None:
         return 0
-    on = (
-        ["conv_id", "turn_idx"] if "turn_idx" in keys.columns else ["conv_id"]
-    )
-    keep = tombs.join(keys.select(*on).distinct(), on, "left_anti")
+    if "turn_idx" in keys.columns:
+        k = keys.select(
+            F.col("conv_id").cast("string").alias("k_conv"),
+            F.col("turn_idx").cast("int").alias("k_turn"),
+        ).distinct()
+        keep = tombs.join(
+            k,
+            (tombs["conv_id"] == k["k_conv"])
+            & tombs["turn_idx"].eqNullSafe(k["k_turn"]),
+            "left_anti",
+        )
+    else:
+        keep = tombs.join(
+            keys.select("conv_id").distinct(), "conv_id", "left_anti"
+        )
     before = tombs.count()
     after = keep.count()
     if after == before:
         return 0
     root = _tomb_root(out_dir)
+    if after == 0:
+        # last tombstone lifted: drop the table entirely so ingest
+        # returns to the zero-cost no-takedown steady state
+        shutil.rmtree(root, ignore_errors=True)
+        return before
     tmp, old = Path(f"{root}_new"), Path(f"{root}_old")
     shutil.rmtree(tmp, ignore_errors=True)
     keep.write.mode("overwrite").parquet(str(tmp))

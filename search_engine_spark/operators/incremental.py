@@ -52,7 +52,7 @@ import time
 from pathlib import Path
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import ANALYZER_VERSION, terms_col
@@ -237,6 +237,7 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
     from .deletes import (
         delete_batch_dirs,
         drop_delete_batch,
+        is_batch_committed,
         sweep_tmp_debris,
     )
 
@@ -246,8 +247,8 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
     keep_dirs: list[str] = []
     for name in delete_batch_dirs(out_dir):
         p = int(name.rsplit("_", 1)[1])
-        if f"part_{p:05d}" in manifest or f"deletes_{p:05d}" in manifest:
-            keep_dirs.append(name)  # committed
+        if is_batch_committed(name, manifest):
+            keep_dirs.append(name)
         elif p in staged_now:
             # normal-batch debris: case (a)/(b) below decides; its
             # deletes stay OUT of this restore either way — a case-(a)
@@ -491,7 +492,6 @@ def delete_docs(
     require_staging(out_dir, manifest)
     manifest = _recover_uncommitted(spark, out_dir, manifest, n_buckets)
 
-    on = ["conv_id", "turn_idx"] if "turn_idx" in keys.columns else ["conv_id"]
     from .deletes import deleted_ids_df, write_tombstones
 
     if tombstone:
@@ -504,13 +504,33 @@ def delete_docs(
         if prior_del is not None
         else existing
     )
+    # a NULL turn_idx row in a turn-keyed frame means the WHOLE
+    # conversation — the tombstone table's own encoding, so a ledger
+    # round-trips through delete_docs/clear_tombstones symmetrically
+    # (a null-unsafe semi-join would silently delete nothing for it)
+    if "turn_idx" in keys.columns:
+        k = keys.select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+        ).distinct()
+        matched = live.join(
+            k.filter(F.col("turn_idx").isNotNull()),
+            ["conv_id", "turn_idx"],
+            "left_semi",
+        ).unionByName(
+            live.join(
+                k.filter(F.col("turn_idx").isNull()).select("conv_id"),
+                "conv_id",
+                "left_semi",
+            )
+        )
+    else:
+        matched = live.join(
+            keys.select("conv_id").distinct(), "conv_id", "left_semi"
+        )
     # localCheckpoint: the commit below mutates the vector this plan
     # reads through (same self-dependency rule as the upsert anti-join)
-    doomed = (
-        live.join(keys.select(*on).distinct(), on, "left_semi")
-        .select("doc_id")
-        .localCheckpoint()
-    )
+    doomed = matched.select("doc_id").distinct().localCheckpoint()
     n = doomed.count()
     if n == 0:
         return {"deleted_docs": 0}
@@ -613,16 +633,28 @@ def incremental_update(
         # turn_idx) keys are legal in the doc store (module docstring —
         # batch-internal duplicates each get a doc_id), so a plain join
         # would fan incoming rows out and index one row several times.
-        # One group row per key keeps the join 1:1 on the live side; a
-        # key counts as unchanged ONLY when it maps to exactly one live
-        # doc with the same text — any other live set (text differs, or
-        # the key holds several docs) is replaced wholesale, which is
-        # literally deleteAllByPageId + re-add collapsing a page to its
-        # incoming rows.
+        # One group row per key keeps the join 1:1 on the live side.
+        # Changed-detection compares the key's INDEXABLE text multiset
+        # (sorted arrays; hygiene-blank incoming rows are excluded —
+        # they never index, so counting them would block replay
+        # convergence): unchanged iff live texts == incoming non-blank
+        # texts, which makes a replay of ANY batch — duplicate keys
+        # included — land on an identical live set and go quiet. Any
+        # difference is replaced wholesale: literally deleteAllByPageId
+        # + re-add collapsing a page to its incoming rows.
+        base_cols = list(incoming_all.columns)
+        wk = Window.partitionBy("conv_id", "turn_idx")
+        incoming_all = incoming_all.withColumn(
+            "_inc_texts",
+            F.sort_array(
+                F.collect_list(
+                    F.when(nonblank_text(), F.col("text"))
+                ).over(wk)
+            ),
+        )
         live_keyed = existing_live.groupBy("conv_id", "turn_idx").agg(
             F.collect_list("doc_id").alias("_old_ids"),
-            F.count("*").alias("_n_old"),
-            F.min("text").alias("_old_text"),
+            F.sort_array(F.collect_list("text")).alias("_old_texts"),
         )
         # ONE materialized join: fresh/replaced/counts all derive from
         # this checkpoint, so the incoming-vs-live comparison runs as a
@@ -632,20 +664,17 @@ def incremental_update(
             incoming_all.join(live_keyed, ["conv_id", "turn_idx"], "left")
             .withColumn(
                 "_changed",
-                F.col("_n_old").isNotNull()
-                & ~(
-                    (F.col("_n_old") == 1)
-                    & F.col("text").eqNullSafe(F.col("_old_text"))
-                ),
+                F.col("_old_ids").isNotNull()
+                & (F.col("_inc_texts") != F.col("_old_texts")),
             )
             .localCheckpoint()
         )
         # batch = brand-new keys + changed keys (indexed as new docs),
         # hygiene-gated like any build input
         fresh = j.filter(
-            (F.col("_n_old").isNull() | F.col("_changed"))
+            (F.col("_old_ids").isNull() | F.col("_changed"))
             & nonblank_text()
-        ).select(*incoming_all.columns)
+        ).select(*base_cols)
         replaced = (
             j.filter(F.col("_changed"))
             .select(F.explode("_old_ids").alias("doc_id"))

@@ -424,7 +424,9 @@ def test_tombstone_blocks_replayed_batches(spark, tmp_path):
         spark.createDataFrame([(victim_conv,)], "conv_id string"),
         idx,
     )
-    assert removed > 0 and tombstones_df(spark, idx).count() == 0
+    # lifting the LAST tombstone drops the table entirely (ingest back
+    # to the zero-cost no-takedown steady state)
+    assert removed > 0 and tombstones_df(spark, idx) is None
     r3 = incremental_update(spark, _to_sdf(spark, pdf), idx)
     assert r3["new_docs"] == res["deleted_docs"]
 
@@ -458,3 +460,111 @@ def test_upsert_collapses_duplicate_live_keys(spark, tmp_path):
     # replay: single live doc with same text -> unchanged
     res2 = incremental_update(spark, _to_sdf(spark, fix), idx, upsert=True)
     assert res2 == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
+
+
+def test_upsert_replay_with_batch_internal_dup_keys(spark, tmp_path):
+    """A batch carrying the SAME key twice (legal: each dup gets its own
+    doc_id) must still converge under upsert replay: the multiset
+    compare sees live texts == incoming texts and goes quiet instead of
+    replacing and re-adding forever."""
+    import pandas as pd
+
+    pdf = make_transcripts(n_conversations=3, seed=27)
+    nonblank = pdf["text"].notna() & (pdf["text"].str.strip() != "")
+    dup_src = pdf[nonblank].iloc[0]
+    d1 = dup_src.to_frame().T.copy()
+    d1["text"] = "first duplicate variant text"
+    d2 = dup_src.to_frame().T.copy()
+    d2["text"] = "second duplicate variant text"
+    batch = pd.concat([pdf, d1, d2], ignore_index=True)
+    # the batch now holds key K three times (original + two variants)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, batch), idx, n_parts=1, resume=False)
+    n0 = SearchEngine(spark, idx).n_docs
+
+    # replay the identical batch: live multiset == incoming multiset
+    res = incremental_update(spark, _to_sdf(spark, batch), idx,
+                             upsert=True)
+    assert res == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
+    assert SearchEngine(spark, idx).n_docs == n0
+
+    # change ONE of the dup texts -> the whole key collapses to the new
+    # multiset (3 old docs replaced by 3 incoming rows)
+    batch2 = batch.copy()
+    mask = (
+        (batch2["conv_id"] == dup_src["conv_id"])
+        & (batch2["turn_idx"] == dup_src["turn_idx"])
+        & (batch2["text"] == "second duplicate variant text")
+    )
+    batch2.loc[mask, "text"] = "second duplicate variant text CHANGED"
+    res2 = incremental_update(spark, _to_sdf(spark, batch2), idx,
+                              upsert=True)
+    assert res2["replaced_docs"] == 3 and res2["new_docs"] == 3
+    assert SearchEngine(spark, idx).n_docs == n0
+    # and the new state replays quiet too
+    res3 = incremental_update(spark, _to_sdf(spark, batch2), idx,
+                              upsert=True)
+    assert res3 == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0}
+
+
+def test_delete_docs_null_turn_means_whole_conversation(spark, tmp_path):
+    """A NULL turn_idx row in a turn-keyed frame deletes the whole
+    conversation (the tombstone table's own encoding round-trips)."""
+    from search_engine_spark.operators.incremental import delete_docs
+
+    pdf = make_transcripts(n_conversations=5, seed=28)
+    nonblank = pdf["text"].notna() & (pdf["text"].str.strip() != "")
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf), idx, n_parts=1, resume=False)
+    victim_turn = pdf[nonblank & (pdf["conv_id"] == "conv-000001")].iloc[0]
+    keys = spark.createDataFrame(
+        [("conv-000000", None), ("conv-000001", int(victim_turn["turn_idx"]))],
+        "conv_id string, turn_idx int",
+    )
+    res = delete_docs(spark, keys, idx, tombstone=False)
+    want = int((nonblank & (pdf["conv_id"] == "conv-000000")).sum()) + 1
+    assert res == {"deleted_docs": want}
+    eng = SearchEngine(spark, idx)
+    assert eng.documents.filter(F.col("conv_id") == "conv-000000").count() == 0
+
+
+def test_clear_tombstones_heals_crashed_swap_and_empties(spark, tmp_path):
+    """A crash mid rename-swap must never lose the tombstone table
+    (keys exist nowhere else); clearing the LAST tombstone drops the
+    table dir so ingest returns to the zero-cost steady state."""
+    from pathlib import Path as P
+
+    from search_engine_spark.operators.deletes import (
+        _tomb_root,
+        clear_tombstones,
+        tombstones_df,
+        write_tombstones,
+    )
+
+    pdf = make_transcripts(n_conversations=4, seed=29)
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf), idx, n_parts=1, resume=False)
+    write_tombstones(
+        spark.createDataFrame([("conv-000000",), ("conv-000001",)],
+                              "conv_id string"),
+        idx,
+    )
+    assert tombstones_df(spark, idx).count() == 2
+
+    # simulate the crash window: live dir renamed out, replacement not in
+    root = _tomb_root(idx)
+    P(str(root)).rename(f"{root}_old")
+    assert tombstones_df(spark, idx).count() == 2  # healed from _old
+
+    removed = clear_tombstones(
+        spark, spark.createDataFrame([("conv-000000",)], "conv_id string"),
+        idx,
+    )
+    assert removed == 1 and tombstones_df(spark, idx).count() == 1
+    removed2 = clear_tombstones(
+        spark, spark.createDataFrame([("conv-000001",)], "conv_id string"),
+        idx,
+    )
+    assert removed2 == 1
+    assert not root.exists()           # table dropped entirely
+    assert tombstones_df(spark, idx) is None
