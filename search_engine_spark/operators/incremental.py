@@ -540,6 +540,50 @@ def delete_docs(
     return {"deleted_docs": n}
 
 
+def apply_cdc_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    *,
+    tombstone_deletes: bool = False,
+) -> dict:
+    """Apply one CDC (change-data-capture) batch — the Iceberg/Delta
+    ``apply changes`` shape, so a single stream can carry the index's
+    whole mutation surface. ``batch`` is TRANSCRIPTS columns plus an
+    ``op`` string column: 'I'/'U' rows upsert (insert-or-replace via the
+    delete vector; 'I' and 'U' are deliberately synonyms — upsert
+    semantics make the distinction immaterial and CDC feeds routinely
+    mislabel them), 'D' rows delete the key (text ignored). Returns
+    {"new_docs", "new_parts", "replaced_docs", "deleted_docs"}.
+
+    Per-key conflict rule: deletes are applied AFTER upserts, so a key
+    carrying both in one batch ends deleted (last-write-wins at the
+    batch grain — the compaction of a "row updated then dropped" run).
+    Replays converge exactly like the underlying ops: a replayed batch
+    finds the upserted keys unchanged and the deleted keys gone.
+    ``tombstone_deletes`` stays False by default: a CDC delete is data
+    flow, not a takedown — the key may legitimately return later."""
+    if "op" not in batch.columns:
+        raise ValueError("CDC batch needs an 'op' column ('I'/'U'/'D')")
+    ops = batch.select("op").distinct()
+    bad = [
+        r["op"] for r in ops.collect() if r["op"] not in ("I", "U", "D")
+    ]
+    if bad:
+        raise ValueError(f"CDC batch has unknown op values: {sorted(bad)}")
+    upserts = batch.filter(F.col("op") != "D").drop("op")
+    res_u = incremental_update(spark, upserts, out_dir, upsert=True)
+    deletes = batch.filter(F.col("op") == "D").select(
+        "conv_id", "turn_idx"
+    ).distinct()
+    res_d = (
+        delete_docs(spark, deletes, out_dir, tombstone=tombstone_deletes)
+        if deletes.limit(1).count()
+        else {"deleted_docs": 0}
+    )
+    return {**res_u, **res_d}
+
+
 def incremental_update(
     spark: SparkSession,
     new_transcripts: DataFrame,

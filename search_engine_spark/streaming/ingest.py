@@ -24,8 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import types as T
+
 from .. import schemas
-from ..operators.incremental import incremental_update
+from ..operators.incremental import apply_cdc_batch, incremental_update
 
 
 def stream_transcripts(
@@ -36,22 +38,37 @@ def stream_transcripts(
     *,
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    cdc: bool = False,
     **update_kwargs,
 ) -> StreamingQuery:
     """Start a streaming index-ingest query over parquet files landing in
-    ``source_dir``. Returns the StreamingQuery (caller awaits/stops)."""
-    reader = (
-        spark.readStream.schema(schemas.TRANSCRIPTS)
-        .format("parquet")
-    )
+    ``source_dir``. Returns the StreamingQuery (caller awaits/stops).
+
+    ``cdc=True`` reads files carrying the TRANSCRIPTS columns plus an
+    ``op`` column ('I'/'U'/'D') and applies each micro-batch through
+    ``apply_cdc_batch`` — one stream carries inserts, replacements, AND
+    deletions (the Iceberg CDC-feed shape; on a cluster the file source
+    becomes Kafka/Debezium). Default mode keeps the plain transcript
+    schema and ``incremental_update`` (pass ``upsert=True`` through for
+    replace semantics without deletes)."""
+    schema = schemas.TRANSCRIPTS
+    if cdc:
+        schema = T.StructType(
+            list(schemas.TRANSCRIPTS.fields)
+            + [T.StructField("op", T.StringType(), False)]
+        )
+    reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load(source_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        incremental_update(
-            spark, batch_df, index_dir, **update_kwargs
-        )
+        if cdc:
+            apply_cdc_batch(spark, batch_df, index_dir, **update_kwargs)
+        else:
+            incremental_update(
+                spark, batch_df, index_dir, **update_kwargs
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

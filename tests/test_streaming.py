@@ -5,6 +5,7 @@ the merge's anti-join idempotence give effectively-once updates."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.operators.index_build import build_index
 from search_engine_spark.operators.query import SearchEngine
@@ -124,3 +125,80 @@ def test_streaming_upsert_mode(spark, tmp_path):
     assert eng.n_docs == n0  # replaced, not duplicated
     assert eng._deleted is not None and eng._deleted.size == 3
     assert eng.search_ids("zzcorrected", k=10).count() == 3
+
+
+def test_streaming_cdc_mode(spark, tmp_path):
+    """cdc=True: one stream carries inserts, replacements AND deletions
+    (apply_cdc_batch per micro-batch). Deletes win over same-batch
+    upserts; replaying the full CDC history is a no-op."""
+    from search_engine_spark.operators.incremental import apply_cdc_batch
+
+    idx = str(tmp_path / "idx")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pdf = make_transcripts(n_conversations=8, seed=35)
+    nonblank = pdf["text"].notna() & (pdf["text"].str.strip() != "")
+    sdf = spark.createDataFrame(
+        pdf.assign(ts=pdf["ts"].astype("datetime64[us]"))
+    )
+    build_index(spark, sdf, idx, n_parts=1, resume=False)
+    n0 = SearchEngine(spark, idx).n_docs
+
+    # CDC file: replace 2 turns (U), insert nothing new, delete 1 conv
+    fixes = pdf[nonblank & (pdf["conv_id"] == "conv-000001")].head(2).copy()
+    fixes["text"] = "zzcdcfix replacement text " + fixes["text"]
+    fixes["op"] = "U"
+    doomed = pdf[pdf["conv_id"] == "conv-000002"].copy()
+    doomed["op"] = "D"
+    import pandas as pd
+
+    cdc_pdf = pd.concat([fixes, doomed], ignore_index=True)
+    _write(cdc_pdf, str(src / "cdc1.parquet"))
+    q = stream_transcripts(
+        spark, str(src), str(tmp_path / "ckpt"), idx, cdc=True
+    )
+    q.awaitTermination(120)
+
+    eng = SearchEngine(spark, idx)
+    n_conv2 = int((nonblank & (pdf["conv_id"] == "conv-000002")).sum())
+    assert eng.n_docs == n0 - n_conv2
+    assert eng.search_ids("zzcdcfix", k=10).count() == 2
+    assert eng.documents.filter(
+        F.col("conv_id") == "conv-000002"
+    ).count() == 0
+
+    # direct replay of the same CDC batch: fully convergent
+    res = apply_cdc_batch(
+        spark, spark.createDataFrame(
+            cdc_pdf.assign(ts=cdc_pdf["ts"].astype("datetime64[us]"))
+        ), idx,
+    )
+    assert res == {"new_docs": 0, "new_parts": 0, "replaced_docs": 0,
+                   "deleted_docs": 0}
+
+    # same-batch U+D conflict: key updated AND deleted ends deleted
+    conflict = pdf[nonblank & (pdf["conv_id"] == "conv-000003")].head(1).copy()
+    upd = conflict.copy(); upd["text"] = "conflicting update"; upd["op"] = "U"
+    dele = conflict.copy(); dele["op"] = "D"
+    both = pd.concat([upd, dele], ignore_index=True)
+    res2 = apply_cdc_batch(
+        spark, spark.createDataFrame(
+            both.assign(ts=both["ts"].astype("datetime64[us]"))
+        ), idx,
+    )
+    assert res2["deleted_docs"] == 1  # the freshly-upserted doc
+    key = (conflict.iloc[0]["conv_id"], int(conflict.iloc[0]["turn_idx"]))
+    eng2 = SearchEngine(spark, idx)
+    assert eng2.documents.filter(
+        (F.col("conv_id") == key[0]) & (F.col("turn_idx") == key[1])
+    ).count() == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown op"):
+        bad = both.copy(); bad["op"] = "X"
+        apply_cdc_batch(
+            spark, spark.createDataFrame(
+                bad.assign(ts=bad["ts"].astype("datetime64[us]"))
+            ), idx,
+        )
