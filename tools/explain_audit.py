@@ -89,6 +89,16 @@ def main() -> None:
         "shard-local — no global Sort/rangepartitioning)",
         EQ.q_shuffle_order(spark, sf_dir),
     )
+    show(
+        "chunk dedup (per-row explode/hash, ONE hash-partitioned Window "
+        "exchange — the canonical dedup shuffle — then the doc_id agg)",
+        EQ.q_chunk_dedup(spark, sf_dir),
+    )
+    show(
+        "sample mix (per-row hash thresholds, one source-keyed "
+        "HashAggregate exchange, nothing else)",
+        EQ.q_sample_mix(spark, sf_dir),
+    )
     from search_engine_spark.operators.snapshots import list_snapshots
 
     snap_idx = EQ._tagged_index_dir(sf_dir, "snap")
