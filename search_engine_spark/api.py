@@ -187,6 +187,25 @@ class EngineAPI:
         self.invalidate()
         return {"result": True, **res}
 
+    # -- POST /api/changes ---------------------------------------------------
+    def apply_changes(
+        self, batch: DataFrame, *, tombstone_deletes: bool = False
+    ) -> dict[str, Any]:
+        """CDC apply (operators/incremental.apply_cdc_batch): TRANSCRIPTS
+        rows + an ``op`` column ('I'/'U' upsert, 'D' delete) in one
+        batch — the envelope twin of stream_transcripts(cdc=True)."""
+        from .operators.incremental import apply_cdc_batch
+
+        try:
+            res = apply_cdc_batch(
+                self.spark, batch, self.index_dir,
+                tombstone_deletes=tombstone_deletes,
+            )
+        except ValueError as ex:
+            return {"result": False, "error": str(ex)}
+        self.invalidate()
+        return {"result": True, **res}
+
     # -- maintenance --------------------------------------------------------
     def compact(self, **kwargs) -> dict[str, Any]:
         """Fold accumulated incremental parts back into the target layout

@@ -568,3 +568,35 @@ def test_clear_tombstones_heals_crashed_swap_and_empties(spark, tmp_path):
     assert removed2 == 1
     assert not root.exists()           # table dropped entirely
     assert tombstones_df(spark, idx) is None
+
+
+def test_api_apply_changes(spark, tmp_path):
+    """EngineAPI.apply_changes: the CDC envelope — upserts and deletes in
+    one call, invalid ops rejected in the envelope, engine invalidated."""
+    import pandas as pd
+
+    from search_engine_spark.api import EngineAPI
+
+    pdf = make_transcripts(n_conversations=5, seed=30)
+    nonblank = pdf["text"].notna() & (pdf["text"].str.strip() != "")
+    idx = str(tmp_path / "idx")
+    build_index(spark, _to_sdf(spark, pdf), idx, n_parts=1, resume=False)
+    api = EngineAPI(spark, idx)
+    n0 = SearchEngine(spark, idx).n_docs
+
+    fix = pdf[nonblank & (pdf["conv_id"] == "conv-000001")].head(1).copy()
+    fix["text"] = "zzapichange corrected"; fix["op"] = "U"
+    doom = pdf[pdf["conv_id"] == "conv-000002"].copy(); doom["op"] = "D"
+    batch = pd.concat([fix, doom], ignore_index=True)
+    res = api.apply_changes(_to_sdf(spark, batch))
+    n_doomed = int((nonblank & (pdf["conv_id"] == "conv-000002")).sum())
+    assert res["result"] is True
+    assert res["replaced_docs"] == 1 and res["new_docs"] == 1
+    assert res["deleted_docs"] == n_doomed
+    assert SearchEngine(spark, idx).n_docs == n0 - n_doomed
+    out = api.search("zzapichange")
+    assert out["result"] is True and out["count"] == 1
+
+    bad = batch.copy(); bad["op"] = "Z"
+    res2 = api.apply_changes(_to_sdf(spark, bad))
+    assert res2["result"] is False and "unknown op" in res2["error"]
