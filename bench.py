@@ -162,8 +162,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
                 k=10,
             ).collect()
         ),
+        # native-only helper: the q_bm25_topk GATE entry now unions the
+        # engine variant too (r4 ask #7 fold) — benching that would mix
+        # an index build into this query's timing
         "bm25_dataframe_native": lambda: len(
-            EQ.q_bm25_topk(spark, sf_dir).collect()
+            EQ._topk_spark(spark, sf_dir, EQ.QUERY_TERMS, "bm25").collect()
         ),
         "dedup_lsh_pairs": lambda: EQ.q_lsh_pairs(spark, sf_dir).count(),
         "training_shard_prep": lambda: EQ.q_pipeline_training_shard(

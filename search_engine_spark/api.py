@@ -303,6 +303,11 @@ class EngineAPI:
             # envelope contract instead of leaking a raw read error
             return {"result": False, "error": ERR_NO_INDEX,
                     "is_indexing": self.is_indexing()}
+        except ValueError as ex:
+            # resolve_snapshot raises ValueError for an unknown/expired
+            # snapshot id or a missing/truncated snapshot store — same
+            # envelope contract as every other API error path
+            return {"result": False, "error": str(ex)}
         rows = eng.search(
             query, k=limit, offset=offset, mode=mode, max_df=max_df,
             scope=site,

@@ -518,31 +518,53 @@ GROUP BY 1 HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}
 """
 
 
+def _both_variants_topk(spark, sf_dir, terms, mode):
+    """One gate row, BOTH implementations (VERDICT r4 ask #7 — the
+    DataFrame-native/engine twin entries folded into parametrized
+    variants, halving gate-window pressure with no capability loss):
+    the DataFrame-native fixed-order pipeline and the REAL engine
+    (varbyte postings → decode → pivot) answer the same query; the
+    oracle cross-joins its single result block with both variant labels,
+    so EACH variant must independently hash-match the same SQL rows."""
+    native = _topk_spark(spark, sf_dir, terms, mode).select(
+        F.lit("native").alias("variant"), "doc_id", "score"
+    )
+    engine = _engine_topk(spark, sf_dir, terms, mode).select(
+        F.lit("engine").alias("variant"), "doc_id", "score"
+    )
+    return native.unionByName(engine)
+
+
+def _variant_sql(inner: str) -> str:
+    return (
+        f"WITH r AS ({inner}) SELECT v.variant, r.doc_id, r.score "
+        "FROM r CROSS JOIN (VALUES ('native'), ('engine')) v(variant)"
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
-    """BM25 top-k, DataFrame-native pipeline (fixed-order float sum)."""
-    return _topk_spark(spark, sf_dir, QUERY_TERMS, "bm25")
+    """BM25 top-k: DataFrame-native pipeline AND the real engine
+    end-to-end (index build → delta+varbyte postings → decoded-block
+    scoring), score-identical to one SQL oracle (_both_variants_topk)."""
+    return _both_variants_topk(spark, sf_dir, QUERY_TERMS, "bm25")
 
 
 def q_relevance_ref_topk(spark, sf_dir):
-    """Reference TF-sum relevance (IndexRepository.java:14-20) top-k."""
-    return _topk_spark(spark, sf_dir, QUERY_TERMS, "relevance_ref")
+    """Reference TF-sum relevance (IndexRepository.java:14-20) top-k,
+    native + engine variants under one row (_both_variants_topk)."""
+    return _both_variants_topk(spark, sf_dir, QUERY_TERMS, "relevance_ref")
 
 
 def q_engine_bm25_topk(spark, sf_dir):
-    """The REAL engine end-to-end: index build (delta+varbyte postings,
-    salting, manifest) → BM25 scoring over decoded blocks → top-k.
-    Must match the same SQL oracle as q_bm25_topk — score-identical."""
+    """The REAL engine end-to-end — kept as the flagship entry()
+    callable (driver smoke check at sf0.001); gate coverage rides the
+    folded q_bm25_topk variant row."""
     return _engine_topk(spark, sf_dir, QUERY_TERMS, "bm25")
 
 
 def q_engine_rare_topk(spark, sf_dir):
     """Engine top-k for a rare+hot query (df-asc ordering, O1)."""
     return _engine_topk(spark, sf_dir, RARE_QUERY_TERMS, "bm25")
-
-
-def q_engine_relevance_ref(spark, sf_dir):
-    """Engine top-k in reference-parity scoring mode."""
-    return _engine_topk(spark, sf_dir, QUERY_TERMS, "relevance_ref")
 
 
 HOT_QUERY_TERM = "batch"  # highest-df dictionary term at sf0.01 (402)
@@ -720,6 +742,104 @@ def q_engine_delete_stats(spark, sf_dir):
         spark.read.parquet(f"{out}/term_stats")
         .select("term", "df", "cf")
     )
+
+
+def q_engine_cdc_stats(spark, sf_dir):
+    """CDC apply under the gate (VERDICT r4 ask #3) — one change stream
+    carrying the index's whole mutation surface through apply_cdc_batch
+    (operators/incremental.py; the reference's re-index/delete surface
+    IndexationServiceImpl.java:119-131 generalized to the Iceberg/Delta
+    APPLY CHANGES shape). Base index = the corpus with doc_id % 11 == 5
+    rows CORRUPTED (stale marker text) and % 11 == 7 rows ABSENT; the
+    CDC batch then carries, in ONE frame: 'I' inserts of the absent
+    rows, 'U' upserts fixing the corrupted rows, 'D' deletes of
+    % 11 == 2, and the same-batch CONFLICT keys % 11 == 3 arriving as
+    BOTH a (genuinely changed-text) 'U' and a 'D' — the conflict rule
+    says deletes win, so they must end gone despite the real
+    replacement riding the same batch. Returns the live term
+    dictionary; oracle = term_stats SQL over the net corpus (truth
+    minus % 11 in (2, 3)) — green iff corrupt-build + one CDC batch is
+    exactly equivalent to indexing the net truth from scratch. Replays
+    converge: re-'U' of live same-text keys anti-joins away, re-'U' of
+    the deleted conflict keys re-inserts them and the same batch's 'D'
+    re-deletes them — term_stats is a fixpoint."""
+    from .operators.incremental import apply_cdc_batch
+
+    out = _tagged_index_dir(sf_dir, "cdc")
+    truth = documents_as_transcripts(_docs(spark, sf_dir))
+    m = F.col("turn_idx") % 11
+    base = truth.filter(m != 7).withColumn(
+        "text",
+        F.when(
+            m == 5, F.lit("zzstale zzstale corrupt marker filler row")
+        ).otherwise(F.col("text")),
+    )
+    build_index(spark, base, out, resume=True)
+    batch = (
+        truth.filter(m == 7).withColumn("op", F.lit("I"))
+        .unionByName(truth.filter(m == 5).withColumn("op", F.lit("U")))
+        .unionByName(
+            # conflict keys: a REAL replacement (changed text, so the
+            # upsert half is not a no-op) and a delete in the same batch
+            truth.filter(m == 3)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzcdcconflict")))
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(truth.filter(m == 2).withColumn("op", F.lit("D")))
+        .unionByName(truth.filter(m == 3).withColumn("op", F.lit("D")))
+    )
+    apply_cdc_batch(spark, batch, out)
+    return (
+        spark.read.parquet(f"{out}/term_stats")
+        .select("term", "df", "cf")
+    )
+
+
+SQL_CDC_STATS = f"""WITH ndocs AS (
+    SELECT * FROM documents WHERE doc_id % 11 NOT IN (2, 3)
+), {_base_ctes("ndocs")} SELECT term, df, cf FROM dft"""
+
+
+def q_engine_tombstone_stats(spark, sf_dir):
+    """Takedown tombstone lifecycle under the gate (VERDICT r4 ask #5):
+    delete_docs(tombstone=True) on every doc_id % 13 == 6 turn, then a
+    REPLAYED ingest of exactly those rows — the tombstone filter must
+    drop every one (asserted: new_docs == 0; without it the replay would
+    silently resurrect taken-down keys), then clear_tombstones lifts the
+    takedown for the % 26 == 6 half and a second replay re-indexes ONLY
+    that half. Returns the live term dictionary; oracle = term_stats SQL
+    over the corpus without the still-tombstoned % 26 == 19 rows.
+    Replay-safe for repeated gate runs: the re-delete re-tombstones and
+    re-deletes the restored half, so every run walks the same
+    delete -> blocked-replay -> partial-clear -> restore cycle to the
+    same fixpoint."""
+    from .operators.incremental import delete_docs, incremental_update
+
+    out = _tagged_index_dir(sf_dir, "tomb")
+    truth = documents_as_transcripts(_docs(spark, sf_dir))
+    build_index(spark, truth, out, resume=True)
+    taken = truth.filter(F.col("turn_idx") % 13 == 6)
+    delete_docs(
+        spark, taken.select("conv_id", "turn_idx"), out, tombstone=True
+    )
+    res = incremental_update(spark, taken, out)  # replayed batch
+    assert res["new_docs"] == 0, (
+        f"tombstoned keys resurrected by replay: {res}"
+    )
+    from .operators.deletes import clear_tombstones
+
+    lifted = taken.filter(F.col("turn_idx") % 26 == 6)
+    clear_tombstones(spark, lifted.select("conv_id", "turn_idx"), out)
+    incremental_update(spark, taken, out)  # only the lifted half lands
+    return (
+        spark.read.parquet(f"{out}/term_stats")
+        .select("term", "df", "cf")
+    )
+
+
+SQL_TOMBSTONE_STATS = f"""WITH ndocs AS (
+    SELECT * FROM documents WHERE doc_id % 26 <> 19
+), {_base_ctes("ndocs")} SELECT term, df, cf FROM dft"""
 
 
 SCOPE_PREFIX = "src1"  # matches src1, src10..src19 — 11 sources, 275 docs
@@ -1160,6 +1280,75 @@ def q_engine_phrase_incr_topk(spark, sf_dir):
         .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def q_engine_prox_pos_topk(spark, sf_dir):
+    """Indexed proximity search over a store_positions=True index
+    (SearchEngine.search_proximity, VERDICT r4 ask #4): BM25 candidates
+    for the two PROX_TERMS come THROUGH the index (classic conjunctive
+    plan), and the within-PROX_WINDOW test is evaluated FROM THE INDEX —
+    both lemmas' position streams decode from the same range-pruned
+    blocks and the |i-j| <= w check runs as a JVM higher-order array
+    expression; the doc store is never scanned (q_proximity_match keeps
+    the full-corpus text-scan shape as the naive baseline). Oracle
+    derives the same candidate scores (df-asc accumulation over the dft
+    CTE) intersected with the SQL min-distance filter — green pins
+    candidate generation, the positions codec roundtrip, the window
+    expression, and float accumulation together."""
+    eng = SearchEngine(spark, ensure_pos_index(spark, sf_dir))
+    assert eng.has_positions
+    ids = eng.search_proximity(*PROX_TERMS, window=PROX_WINDOW, k=TOPK)
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _engine_prox_sql(k: int = TOPK) -> str:
+    """Conjunctive BM25 over the two PROX_TERMS (df-asc derived
+    accumulation, as _engine_phrase_sql) restricted to docs whose lemma
+    sequence has the terms within PROX_WINDOW tokens (as
+    _sql_proximity_match)."""
+    a, b = PROX_TERMS
+    distinct = sorted(PROX_TERMS)
+    pair_min = (
+        "list_min(flatten(list_transform(pa, i -> "
+        "list_transform(pb, j -> abs(i - j)))))"
+    )
+    return f"""
+WITH {_base_ctes()},
+lemx AS (SELECT doc_id, {lemmas_list_sql()} AS lem FROM documents),
+pos AS (
+    SELECT doc_id,
+           list_filter(range(1, len(lem) + 1), i -> lem[i] = '{a}') AS pa,
+           list_filter(range(1, len(lem) + 1), i -> lem[i] = '{b}') AS pb
+    FROM lemx
+),
+pdocs AS (
+    SELECT doc_id FROM pos
+    WHERE len(pa) > 0 AND len(pb) > 0 AND {pair_min} <= {PROX_WINDOW}
+),
+partials AS (
+    SELECT tf.doc_id, tf.term, dft.df, {_score_sql("bm25")} AS s
+    FROM tf
+    JOIN dft USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.term IN ({_in_list(distinct)})
+),
+agg AS (
+    SELECT doc_id, list(s ORDER BY df ASC, term ASC) AS ss,
+           COUNT(*) AS n_present
+    FROM partials GROUP BY doc_id
+)
+SELECT g.doc_id, list_reduce(ss, (a, b) -> a + b) AS score
+FROM agg g JOIN pdocs USING (doc_id)
+WHERE n_present = {len(distinct)}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 def q_engine_prefix_topk(spark, sf_dir):
@@ -3811,37 +4000,132 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
-# Registry
+# Registry + driver-gate rotation
 # ---------------------------------------------------------------------------
-# Ordering policy (the driver's correctness gate checks the FIRST 50
-# entries only — VERDICT.md r3 "What's wrong #1"): entries that have never
-# received a driver row come first, then entries last gated in an older
-# round, then this round's new/changed code paths, then the r3-green engine
-# core. Entries pushed past the window are exclusively ones that went green
-# in BOTH r2 and r3 with no code change since (basic stats, TPC-H suite,
-# dedup/fingerprint basics) — see COVERAGE.md for the per-entry gate
-# history.
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-gated before r4 (streaming, training-data funnel,
-    #    layout ops) --
-    "streaming_tumbling": q_streaming_tumbling,
-    "streaming_sessionize": q_streaming_sessionize,
-    "pipeline_training_shard": q_pipeline_training_shard,
-    "seq_pack": q_seq_pack,
-    "repetition_stats": q_repetition_stats,
-    "source_cap_sample": q_source_cap_sample,
-    "hash_split": q_hash_split,
-    "doc_chunks": q_doc_chunks,
-    # -- new in r4: decontamination, PII scrubbing, snapshot time travel --
-    "decontaminate": q_decontaminate,
-    "pii_scrub": q_pii_scrub,
-    "shuffle_order": q_shuffle_order,
-    "engine_snapshot_topk": q_engine_snapshot_topk,
+# The driver's correctness gate checks the FIRST `GATE_WINDOW` entries of
+# QUERIES only, and the registry outgrew the window — so ordering is now
+# STRUCTURAL, not hand-curated (VERDICT.md r4 "Next round #1"):
+# least-recently-gated first. GATE_LAST_GREEN records the last round each
+# entry had a green driver row (CORRECTNESS_r{N}.json); 0 means "must be
+# gated this round" — new entries, and entries whose CODE PATH changed
+# since their last green row. After each round, refresh the table from the
+# new CORRECTNESS file (`python tools/gate_rotation.py` prints the updated
+# dict and flags any stale-beyond-one-round entry that failed to fit the
+# window). Ties keep _REGISTRY insertion order, so within the same round
+# the entries touching recently-changed code are listed first.
+GATE_WINDOW = 50
+
+GATE_LAST_GREEN: dict[str, int] = {
+    # 0 = new/changed this round (r5): folded variant twins (bm25/relevance
+    # native+engine under one row), CDC apply, tombstone lifecycle, indexed
+    # proximity — plus the r4-green mutation entries whose read/commit
+    # paths changed in r5 (delete-vector broadcast; compaction snapshot-log
+    # invalidation; snapshot pin-integrity refusal).
+    "bm25_topk": 0,
+    "relevance_ref_topk": 0,
+    "engine_cdc_stats": 0,
+    "engine_tombstone_stats": 0,
+    "engine_prox_pos_topk": 0,
+    "engine_upsert_stats": 0,
+    "engine_delete_stats": 0,
+    "engine_compacted_topk": 0,
+    "engine_snapshot_topk": 0,
+    # last green in r3 (no r4 row — outside that round's window)
+    "term_stats": 3, "corpus_stats": 3, "doc_stats": 3, "top_terms": 3,
+    "source_stats": 3, "any_match": 3, "conjunctive_match": 3,
+    "tpch_pricing_summary": 3, "tpch_order_revenue": 3,
+    "tpch_cust_nation_region": 3, "tpch_semi_join": 3, "tpch_anti_join": 3,
+    "tpch_top_orders_per_cust": 3, "tpch_brand_volume": 3,
+    "dedup_exact": 3, "jaccard_pairs": 3, "ngram_dup_pairs": 3,
+    "minhash_sigs": 3, "lsh_pairs": 3, "lsh_bucket_stats": 3, "simhash": 3,
+    "doc_fingerprint": 3, "rolling_fingerprint": 3, "cosine_topk": 3,
+    "embed_dup_pairs": 3, "embed_quantize": 3, "ann_ivf": 3,
+    "ivf_recall": 3, "phrase_match": 3, "proximity_match": 3,
+    # last green in r4 (CORRECTNESS_r04.json)
+    "engine_hot_topk": 4, "engine_hot_fallback_topk": 4,
+    "engine_hot_disjunctive": 4, "engine_disjunctive": 4,
+    "engine_rare_topk": 4, "engine_maxdf_topk": 4, "engine_paged_topk": 4,
+    "engine_incremental_stats": 4, "engine_skew_topk": 4,
+    "engine_scoped_topk": 4, "engine_batch_topk": 4,
+    "engine_prefix_topk": 4, "engine_phrase_topk": 4,
+    "engine_phrase_pos_topk": 4, "engine_phrase_incr_topk": 4,
+    "ann_bucketed": 4, "ann_recall": 4, "clean_docs": 4, "tokenize_tf": 4,
+    "search_snippets": 4, "build_manifest": 4, "dedup_components": 4,
+    "lang_id": 4, "quality_score": 4, "token_counts": 4,
+    "events_tumbling": 4, "events_sessionize": 4, "events_json": 4,
+    "media_features": 4, "media_frames": 4, "media_audio_stats": 4,
+    "streaming_tumbling": 4, "streaming_sessionize": 4,
+    "pipeline_training_shard": 4, "seq_pack": 4, "repetition_stats": 4,
+    "source_cap_sample": 4, "hash_split": 4, "doc_chunks": 4,
+    "decontaminate": 4, "pii_scrub": 4, "shuffle_order": 4,
+    "chunk_dedup": 4, "sample_mix": 4,
+}
+
+# Insertion order = tie-break within a gate round. Among the round-4 block
+# the entries riding the r5-changed decode kernels (delete-vector
+# broadcast) come first so they re-gate soonest.
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- new/changed in r5 --
+    "engine_cdc_stats": q_engine_cdc_stats,
+    "engine_tombstone_stats": q_engine_tombstone_stats,
+    "engine_prox_pos_topk": q_engine_prox_pos_topk,
+    "bm25_topk": q_bm25_topk,
+    "relevance_ref_topk": q_relevance_ref_topk,
     "engine_upsert_stats": q_engine_upsert_stats,
     "engine_delete_stats": q_engine_delete_stats,
-    "chunk_dedup": q_chunk_dedup,
-    "sample_mix": q_sample_mix,
-    # -- last gated in r2 (fell past the r3 window unchanged) --
+    "engine_compacted_topk": q_engine_compacted_topk,
+    "engine_snapshot_topk": q_engine_snapshot_topk,
+    # -- r3 cohort --
+    "term_stats": q_term_stats,
+    "corpus_stats": q_corpus_stats,
+    "doc_stats": q_doc_stats,
+    "top_terms": q_top_terms,
+    "source_stats": q_source_stats,
+    "any_match": q_any_match,
+    "conjunctive_match": q_conjunctive_match,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "tpch_order_revenue": q_tpch_order_revenue,
+    "tpch_cust_nation_region": q_tpch_cust_nation_region,
+    "tpch_semi_join": q_tpch_semi_join,
+    "tpch_anti_join": q_tpch_anti_join,
+    "tpch_top_orders_per_cust": q_tpch_top_orders_per_cust,
+    "tpch_brand_volume": q_tpch_brand_volume,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ngram_dup_pairs": q_ngram_dup_pairs,
+    "minhash_sigs": q_minhash_sigs,
+    "lsh_pairs": q_lsh_pairs,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
+    "simhash": q_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "embed_dup_pairs": q_embed_dup_pairs,
+    "embed_quantize": q_embed_quantize,
+    "ann_ivf": q_ann_ivf,
+    "ivf_recall": q_ivf_recall,
+    "phrase_match": q_phrase_match,
+    "proximity_match": q_proximity_match,
+    # -- r4 cohort: broadcast-affected decode paths first --
+    "engine_hot_topk": q_engine_hot_topk,
+    "engine_hot_fallback_topk": q_engine_hot_fallback_topk,
+    "engine_hot_disjunctive": q_engine_hot_disjunctive,
+    "engine_disjunctive": q_engine_disjunctive,
+    "engine_rare_topk": q_engine_rare_topk,
+    "engine_maxdf_topk": q_engine_maxdf_topk,
+    "engine_paged_topk": q_engine_paged_topk,
+    "engine_incremental_stats": q_engine_incremental_stats,
+    "engine_skew_topk": q_engine_skew_topk,
+    "engine_scoped_topk": q_engine_scoped_topk,
+    "engine_batch_topk": q_engine_batch_topk,
+    "engine_prefix_topk": q_engine_prefix_topk,
+    "engine_phrase_topk": q_engine_phrase_topk,
+    "engine_phrase_pos_topk": q_engine_phrase_pos_topk,
+    "engine_phrase_incr_topk": q_engine_phrase_incr_topk,
+    "ann_bucketed": q_ann_bucketed,
+    "ann_recall": q_ann_recall,
+    "clean_docs": q_clean_docs,
+    "tokenize_tf": q_tokenize_tf,
     "search_snippets": q_search_snippets,
     "build_manifest": q_build_manifest,
     "dedup_components": q_dedup_components,
@@ -3854,66 +4138,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_audio_stats": q_media_audio_stats,
-    # -- r3-green engine core + entries whose code paths changed in r4 --
-    "clean_docs": q_clean_docs,
-    "tokenize_tf": q_tokenize_tf,
-    "engine_bm25_topk": q_engine_bm25_topk,
-    "engine_rare_topk": q_engine_rare_topk,
-    "engine_relevance_ref": q_engine_relevance_ref,
-    "engine_hot_topk": q_engine_hot_topk,
-    "engine_hot_fallback_topk": q_engine_hot_fallback_topk,
-    "engine_disjunctive": q_engine_disjunctive,
-    "engine_hot_disjunctive": q_engine_hot_disjunctive,
-    "engine_maxdf_topk": q_engine_maxdf_topk,
-    "engine_paged_topk": q_engine_paged_topk,
-    "engine_incremental_stats": q_engine_incremental_stats,
-    "engine_skew_topk": q_engine_skew_topk,
-    "engine_compacted_topk": q_engine_compacted_topk,
-    "engine_scoped_topk": q_engine_scoped_topk,
-    "engine_batch_topk": q_engine_batch_topk,
-    "engine_prefix_topk": q_engine_prefix_topk,
-    "engine_phrase_topk": q_engine_phrase_topk,
-    "engine_phrase_pos_topk": q_engine_phrase_pos_topk,
-    "engine_phrase_incr_topk": q_engine_phrase_incr_topk,
-    "ann_bucketed": q_ann_bucketed,
-    "ann_recall": q_ann_recall,
-    # ---- driver window boundary (entries below are green in BOTH r2 and
-    #      r3, unchanged since; rotated out per the ordering policy —
-    #      term_stats' chain is additionally subsumed by the harder
-    #      engine_{incremental,upsert,delete}_stats entries in-window ----
-    "term_stats": q_term_stats,
-    "corpus_stats": q_corpus_stats,
-    "ngram_dup_pairs": q_ngram_dup_pairs,
-    "ivf_recall": q_ivf_recall,
-    "phrase_match": q_phrase_match,
-    "proximity_match": q_proximity_match,
-    "minhash_sigs": q_minhash_sigs,
-    "lsh_pairs": q_lsh_pairs,
-    "embed_quantize": q_embed_quantize,
-    "ann_ivf": q_ann_ivf,
-    "doc_stats": q_doc_stats,
-    "top_terms": q_top_terms,
-    "source_stats": q_source_stats,
-    "any_match": q_any_match,
-    "conjunctive_match": q_conjunctive_match,
-    "bm25_topk": q_bm25_topk,
-    "relevance_ref_topk": q_relevance_ref_topk,
-    "tpch_pricing_summary": q_tpch_pricing_summary,
-    "tpch_order_revenue": q_tpch_order_revenue,
-    "tpch_cust_nation_region": q_tpch_cust_nation_region,
-    "tpch_semi_join": q_tpch_semi_join,
-    "tpch_anti_join": q_tpch_anti_join,
-    "tpch_top_orders_per_cust": q_tpch_top_orders_per_cust,
-    "tpch_brand_volume": q_tpch_brand_volume,
-    "dedup_exact": q_dedup_exact,
-    "jaccard_pairs": q_jaccard_pairs,
-    "lsh_bucket_stats": q_lsh_bucket_stats,
-    "simhash": q_simhash,
-    "doc_fingerprint": q_doc_fingerprint,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "cosine_topk": q_cosine_topk,
-    "embed_dup_pairs": q_embed_dup_pairs,
+    "streaming_tumbling": q_streaming_tumbling,
+    "streaming_sessionize": q_streaming_sessionize,
+    "pipeline_training_shard": q_pipeline_training_shard,
+    "seq_pack": q_seq_pack,
+    "repetition_stats": q_repetition_stats,
+    "source_cap_sample": q_source_cap_sample,
+    "hash_split": q_hash_split,
+    "doc_chunks": q_doc_chunks,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "shuffle_order": q_shuffle_order,
+    "chunk_dedup": q_chunk_dedup,
+    "sample_mix": q_sample_mix,
 }
+
+_TIE_ORDER = {name: i for i, name in enumerate(_REGISTRY)}
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(
+    sorted(
+        _REGISTRY.items(),
+        key=lambda kv: (GATE_LAST_GREEN.get(kv[0], 0), _TIE_ORDER[kv[0]]),
+    )
+)
 
 
 def _oracle_terms_sorted() -> list[str]:
@@ -3932,11 +4178,13 @@ ORACLES: dict[str, str] = {
     "source_stats": SQL_SOURCE_STATS,
     "any_match": SQL_ANY_MATCH,
     "conjunctive_match": SQL_CONJUNCTIVE,
-    "bm25_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
-    "relevance_ref_topk": _topk_sql(_oracle_terms_sorted(), "relevance_ref"),
-    "engine_bm25_topk": _topk_sql(_oracle_terms_sorted(), "bm25"),
+    # folded variant rows (r4 ask #7): ONE oracle block cross-joined with
+    # both variant labels — native and engine must independently match it
+    "bm25_topk": _variant_sql(_topk_sql(_oracle_terms_sorted(), "bm25")),
+    "relevance_ref_topk": _variant_sql(
+        _topk_sql(_oracle_terms_sorted(), "relevance_ref")
+    ),
     "engine_rare_topk": _topk_sql(list(RARE_QUERY_TERMS), "bm25"),
-    "engine_relevance_ref": _topk_sql(_oracle_terms_sorted(), "relevance_ref"),
     # single hot term through the forced block-max plan == plain scorer
     "engine_hot_topk": _topk_sql([HOT_QUERY_TERM], "bm25"),
     # same query on the drift-immune fallback bound (epoch-mismatch mode)
@@ -3961,6 +4209,14 @@ ORACLES: dict[str, str] = {
     "engine_delete_stats": f"""WITH ddocs AS (
     SELECT * FROM documents WHERE doc_id % 9 <> 4
 ), {_base_ctes("ddocs")} SELECT term, df, cf FROM dft""",
+    # one mixed I/U/D CDC batch (deletes-win conflict rule) == indexing
+    # the net corpus from scratch
+    "engine_cdc_stats": SQL_CDC_STATS,
+    # takedown + blocked replay + partial clear + restore == never
+    # indexing the still-tombstoned rows
+    "engine_tombstone_stats": SQL_TOMBSTONE_STATS,
+    # positional-index proximity == conjunctive BM25 ∩ min-dist filter
+    "engine_prox_pos_topk": _engine_prox_sql(),
     "chunk_dedup": _sql_chunk_dedup(),
     "sample_mix": _sql_sample_mix(),
     # salted hot-term build vs the plain SQL scorer over the derived corpus

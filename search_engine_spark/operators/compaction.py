@@ -195,6 +195,18 @@ def compact_index(
     shutil.rmtree(new_staging, ignore_errors=True)
     raw.write.mode("overwrite").partitionBy("part_id").parquet(new_staging)
 
+    # invalidate the snapshot log BEFORE any swap: parts renumber from 0,
+    # so a crash after the swaps but before the final REPLACE commit would
+    # otherwise leave stale snapshot records whose pinned part_ids
+    # silently alias the NEW compacted parts — time-travel reads returning
+    # wrong rows with no error (r4 review finding). Post-invalidate, that
+    # crash window resolves to a loud "history was truncated" refusal;
+    # the recorded id high-water mark keeps the replace commit's id
+    # monotonic. HEAD reads never consult the log, so this costs nothing.
+    from .snapshots import commit_snapshot, invalidate_snapshots
+
+    invalidate_snapshots(out_dir)
+
     # swap: postings dir replaced wholesale, then staging, then manifest
     # part rows rewritten (on a cluster this is one Iceberg REPLACE
     # snapshot commit; locally the rename gaps are the crash windows and
@@ -240,11 +252,10 @@ def compact_index(
     stage = dict(manifest["stage_docs"])
     stage["part_size"] = part_size
     _write_manifest_row(out_dir, "stage_docs", stage)
-    # REPLACE commit + history truncation: the swap above rewrote the
-    # files older snapshots pin, so their records are expired with it
-    # (Iceberg rewrite_data_files + expireSnapshots)
-    from .snapshots import commit_snapshot
-
+    # REPLACE commit: history was already truncated by the pre-swap
+    # invalidation above; truncate=True stays for the case where another
+    # writer minted a commit in between (single-writer contract, belt
+    # and suspenders) — Iceberg rewrite_data_files + expireSnapshots
     commit_snapshot(
         spark, out_dir, "replace", truncate=True,
         stats_epoch=stats_epoch, n_docs=n_docs,

@@ -354,6 +354,14 @@ def _recover_uncommitted(spark: SparkSession, out_dir: str,
         Path(docs_path).rename(old)
         Path(f"{docs_path}_new").rename(docs_path)
         shutil.rmtree(old, ignore_errors=True)
+        # the rewrite renamed every documents file, so retained snapshots'
+        # pinned documents_files lists now dangle — expire those records
+        # (resolve_snapshot then reports them expired; leaving them would
+        # make every as-of read die with raw PATH_NOT_FOUND, r4 review
+        # finding). Intact records are kept.
+        from .snapshots import expire_dangling_snapshots
+
+        expire_dangling_snapshots(out_dir)
     if not finish:
         return _read_manifest(out_dir)
     # Recompute stats BEFORE writing the DONE manifest rows: a crash

@@ -57,10 +57,34 @@ from pyspark.sql import SparkSession
 
 SNAP_DIR = "_snapshots"
 _STATS_TABLES = ("term_stats", "corpus_stats")
+_HWM_FILE = "_id_high_water.json"
 
 
 def _snap_root(out_dir: str) -> Path:
     return Path(out_dir) / SNAP_DIR
+
+
+def _read_high_water(out_dir: str) -> int:
+    """Highest snapshot id ever issued at this store (0 if never
+    recorded). Consulted by commit_snapshot when NO snapshot record is
+    retained (history invalidated/expired wholesale) so ids stay
+    monotonic — a reissued id would silently alias different data for
+    any reader that remembered the old one."""
+    p = _snap_root(out_dir) / _HWM_FILE
+    if not p.exists():
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["last_id"])
+
+
+def _record_high_water(out_dir: str, last_id: int) -> None:
+    root = _snap_root(out_dir)
+    root.mkdir(exist_ok=True)
+    p = root / _HWM_FILE
+    tmp = p.with_suffix(".json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"last_id": max(_read_high_water(out_dir), int(last_id))}, f)
+    tmp.rename(p)  # atomic: the mark moves forward or nothing happened
 
 
 def _snap_file(out_dir: str, snapshot_id: int) -> Path:
@@ -91,26 +115,65 @@ def current_snapshot(out_dir: str) -> dict | None:
 
 def resolve_snapshot(out_dir: str, snapshot_id: int | None = None) -> dict:
     """The snapshot to read: explicit id, or HEAD when ``None``. Raises
-    loudly for a missing store, an unknown id, and an expired id — an
-    as-of read must never silently degrade to HEAD."""
+    loudly for a missing store, an unknown id, an expired id, and a
+    record whose pinned files are gone — an as-of read must never
+    silently degrade to HEAD or to a partial view."""
     snaps = list_snapshots(out_dir)
     if not snaps:
+        if _read_high_water(out_dir) > 0:
+            raise ValueError(
+                f"index at {out_dir} retains no snapshots: history was "
+                "truncated (compaction REPLACE or a recovery rewrite "
+                "expired every record); the next commit mints a fresh one"
+            )
         raise ValueError(
             f"index at {out_dir} has no snapshot store — it predates "
             "snapshot commits; rebuild or run one incremental_update to "
             "mint a snapshot"
         )
     if snapshot_id is None:
-        return snaps[-1]
-    for s in snaps:
-        if s["snapshot_id"] == int(snapshot_id):
-            return s
-    have = [s["snapshot_id"] for s in snaps]
-    raise ValueError(
-        f"snapshot {snapshot_id} not found at {out_dir}: retained ids are "
-        f"{have} (older ids were expired by compaction or "
-        "expire_snapshots; their backing files are gone)"
-    )
+        snap = snaps[-1]
+    else:
+        snap = next(
+            (s for s in snaps if s["snapshot_id"] == int(snapshot_id)), None
+        )
+        if snap is None:
+            have = [s["snapshot_id"] for s in snaps]
+            raise ValueError(
+                f"snapshot {snapshot_id} not found at {out_dir}: retained "
+                f"ids are {have} (older ids were expired by compaction or "
+                "expire_snapshots; their backing files are gone)"
+            )
+    # pin-integrity refusal: a record can survive a crash of the one path
+    # that rewrites pinned files mid-way (compaction invalidates history
+    # BEFORE its swaps and recovery expires dangling records, but a kill
+    # inside those very steps can still strand one). Reading through a
+    # dangling pin would either die later with a raw PATH_NOT_FOUND or —
+    # worse, for delete_dirs — silently resurrect replaced docs, so check
+    # membership here and refuse with the real story.
+    from .deletes import DELETES_DIR
+
+    gone_docs = [
+        n for n in snap.get("documents_files", [])
+        if not (Path(out_dir) / "documents" / n).exists()
+    ]
+    gone_dels = [
+        d for d in (snap.get("delete_dirs") or [])
+        if not (Path(out_dir) / DELETES_DIR / d).is_dir()
+    ]
+    if gone_docs or gone_dels:
+        what = []
+        if gone_docs:
+            what.append(f"documents files {gone_docs[:3]}")
+        if gone_dels:
+            what.append(f"delete batches {gone_dels[:3]}")
+        raise ValueError(
+            f"snapshot {snap['snapshot_id']} at {out_dir} pins "
+            f"{' and '.join(what)} that no longer exist (a compaction or "
+            "recovery rewrote them); the snapshot is unreadable — expire "
+            "it and read a retained one"
+        )
+    return snap
 
 
 def _documents_files(out_dir: str) -> list[str]:
@@ -201,8 +264,15 @@ def commit_snapshot(
 
     _snap_root(out_dir).mkdir(exist_ok=True)
     _retain_stats_copy(spark, out_dir, int(stats_epoch))
+    # with no retained head (history invalidated before a compaction swap,
+    # or every record expired as dangling) ids continue past the recorded
+    # high-water mark — an id is never reissued to different data
     snap = {
-        "snapshot_id": (head["snapshot_id"] + 1) if head else 1,
+        "snapshot_id": (
+            (head["snapshot_id"] + 1)
+            if head
+            else _read_high_water(out_dir) + 1
+        ),
         "parent_id": head["snapshot_id"] if head else None,
         "operation": operation,
         "committed_ts": time.time(),
@@ -219,6 +289,16 @@ def commit_snapshot(
     return snap
 
 
+def _gc_stats_copies(out_dir: str) -> None:
+    """Drop stats-epoch copies no retained snapshot references."""
+    live_epochs = {s["stats_epoch"] for s in list_snapshots(out_dir)}
+    root = _snap_root(out_dir)
+    for p in root.glob("stats_epoch=*"):
+        suffix = p.name.split("=", 1)[1]
+        if p.name.endswith(".tmp") or int(suffix.removesuffix(".tmp")) not in live_epochs:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _expire_below(out_dir: str, min_keep_id: int) -> list[int]:
     """Drop snapshot records with id < min_keep_id and GC stats copies no
     retained snapshot references. Postings parts and documents files are
@@ -230,12 +310,57 @@ def _expire_below(out_dir: str, min_keep_id: int) -> list[int]:
         if s["snapshot_id"] < min_keep_id:
             _snap_file(out_dir, s["snapshot_id"]).unlink(missing_ok=True)
             expired.append(s["snapshot_id"])
-    live_epochs = {s["stats_epoch"] for s in list_snapshots(out_dir)}
-    root = _snap_root(out_dir)
-    for p in root.glob("stats_epoch=*"):
-        suffix = p.name.split("=", 1)[1]
-        if p.name.endswith(".tmp") or int(suffix.removesuffix(".tmp")) not in live_epochs:
-            shutil.rmtree(p, ignore_errors=True)
+    _gc_stats_copies(out_dir)
+    return expired
+
+
+def invalidate_snapshots(out_dir: str) -> list[int]:
+    """Expire EVERY retained snapshot record — called by compact_index
+    BEFORE its postings/staging/documents swaps. Compaction renumbers
+    posting parts from 0, so a crash between the swap and the final
+    REPLACE commit would otherwise leave stale records whose pinned
+    part_ids silently alias the NEW compacted parts (an as-of read
+    returning wrong rows with no error). Invalidation first turns that
+    crash window into a loud "history was truncated" refusal instead.
+    The id high-water mark is recorded so the post-swap commit (and any
+    commit after a crash) keeps ids monotonic. Returns expired ids."""
+    head = current_snapshot(out_dir)
+    if head is None:
+        return []
+    _record_high_water(out_dir, head["snapshot_id"])
+    return _expire_below(out_dir, head["snapshot_id"] + 1)
+
+
+def expire_dangling_snapshots(out_dir: str) -> list[int]:
+    """Expire snapshot records whose pinned documents files or delete
+    batch dirs no longer all exist. Crash recovery calls this after its
+    partial-batch documents rollback — that rollback rewrites the doc
+    store under NEW file names, so every retained snapshot's pinned
+    documents_files list dangles and as-of reads would die with raw
+    PATH_NOT_FOUND (the 'appends only ever ADD files' invariant holds
+    for commits, not for rollbacks). Expiring the records keeps the
+    store honest: resolve_snapshot reports them expired instead.
+    Records with intact pins are retained untouched."""
+    snaps = list_snapshots(out_dir)
+    if not snaps:
+        return []
+    from .deletes import DELETES_DIR
+
+    present = set(_documents_files(out_dir))
+    expired = []
+    for s in snaps:
+        dangling = any(
+            n not in present for n in s.get("documents_files", [])
+        ) or any(
+            not (Path(out_dir) / DELETES_DIR / d).is_dir()
+            for d in (s.get("delete_dirs") or [])
+        )
+        if dangling:
+            _record_high_water(out_dir, s["snapshot_id"])
+            _snap_file(out_dir, s["snapshot_id"]).unlink(missing_ok=True)
+            expired.append(s["snapshot_id"])
+    if expired:
+        _gc_stats_copies(out_dir)
     return expired
 
 

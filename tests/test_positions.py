@@ -306,3 +306,85 @@ def test_positions_index_is_larger(spark, tmp_path):
     rb = eb.search_ids("query index", k=10).toPandas()
     assert ra["doc_id"].tolist() == rb["doc_id"].tolist()
     assert ra["score"].tolist() == rb["score"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# proximity (search_proximity — the within-k twin of search_phrase)
+# ---------------------------------------------------------------------------
+def test_search_proximity_positions_equals_text_residual(pos_engine):
+    """Positional plan ≡ residual text-scan plan, bit-exact, at several
+    window widths (including 1 = adjacent-only and a wide window)."""
+    from search_engine_spark.functions.analyzer import analyze_text
+
+    text = pos_engine.documents.filter(F.col("dl") >= 6).first()["text"]
+    a, b = analyze_text(text)[:2]
+    any_hit = False
+    for w in (1, 3, 8):
+        got = pos_engine.search_proximity(a, b, window=w, k=10).toPandas()
+        ref = pos_engine.search_proximity(
+            a, b, window=w, k=10, via_positions=False
+        ).toPandas()
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert got["score"].tolist() == ref["score"].tolist()
+        any_hit = any_hit or len(got) > 0
+    assert any_hit
+
+
+def test_search_proximity_exact_semantics(spark, tmp_path):
+    """Handmade corpus pins the window arithmetic: adjacency, either
+    order, exact-boundary distance, and just-beyond-boundary distance."""
+    import datetime
+
+    texts = [
+        "alpha beta gamma",          # 0: dist 1
+        "beta gamma alpha",          # 1: dist 2 (reversed order counts)
+        "alpha gamma gamma beta",    # 2: dist 3 (boundary)
+        "alpha gamma gamma gamma beta",  # 3: dist 4 (beyond window=3)
+        "alpha",                     # 4: missing beta
+        "beta gamma gamma alpha gamma beta",  # 5: min dist 2 of {3, 2}
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": 0,
+            "role": "user",
+            "text": texts,
+            "tool": None,
+            "ts": datetime.datetime(2025, 1, 1),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    idx = str(tmp_path / "idx")
+    build_index(spark, _sdf(spark, pdf), idx, n_parts=1, resume=False,
+                store_positions=True)
+    eng = SearchEngine(spark, idx)
+    for via in (True, False):
+        got = eng.search_proximity(
+            "alpha", "beta", window=3, k=10, via_positions=via
+        ).toPandas()
+        assert sorted(got["doc_id"].tolist()) == [0, 1, 2, 5], via
+        adj = eng.search_proximity(
+            "alpha", "beta", window=1, k=10, via_positions=via
+        ).toPandas()
+        assert adj["doc_id"].tolist() == [0], via
+
+
+def test_search_proximity_positions_plan_skips_doc_store(pos_engine):
+    """The positional proximity plan must never scan the documents store:
+    candidates and the window test both come from the postings blocks."""
+    ids = pos_engine.search_proximity("query", "index", window=4, k=10)
+    plan = ids._jdf.queryExecution().optimizedPlan().toString()
+    assert "documents" not in plan
+
+
+def test_search_proximity_contract_errors(pos_engine):
+    with pytest.raises(ValueError, match="same lemma"):
+        pos_engine.search_proximity("query", "Queries", window=2)
+    with pytest.raises(ValueError, match="exactly one lemma"):
+        pos_engine.search_proximity("query index", "table", window=2)
+    with pytest.raises(ValueError, match="window"):
+        pos_engine.search_proximity("query", "index", window=-1)
+    # dictionary-missing term -> empty result (search_ids contract)
+    assert pos_engine.search_proximity(
+        "query", "zzzznonexistent", window=3
+    ).count() == 0
