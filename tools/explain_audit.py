@@ -75,6 +75,13 @@ def main() -> None:
         "filter on the k-bounded join; no full-corpus re-analysis)",
         eng.search_phrase(" ".join(EQ.PHRASE_TERMS), k=10),
     )
+    pos_eng = SearchEngine(spark, EQ.ensure_pos_index(spark, sf_dir))
+    show(
+        "indexed proximity, positional (both position streams from the "
+        "range-pruned postings scan; NO documents relation in the plan)",
+        pos_eng.search_proximity(*EQ.PROX_TERMS, window=EQ.PROX_WINDOW,
+                                 k=10),
+    )
     show(
         "decontamination (eval shingle set as BroadcastHashJoin — the "
         "corpus side never shuffles for the membership probe)",
