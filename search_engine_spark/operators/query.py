@@ -1293,6 +1293,54 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
+    def _pivot_positions(
+        self,
+        infos: list[TermInfo],
+        ranges: list[tuple[int, int]] | None,
+        distinct: list[str],
+    ) -> DataFrame:
+        """Per-doc position arrays for the distinct lemmas: one `_p{i}`
+        array column per lemma, NULL when the doc lacks it — a NULL
+        pivots any exists() over it to non-true, which is exactly what
+        conjunctive semantics require. Shared by the positional phrase
+        and proximity plans (the match predicate is the only thing that
+        differs between them)."""
+        return self._positions_rows(infos, ranges).groupBy("doc_id").agg(
+            *[
+                F.max(
+                    F.when(F.col("term") == t, F.col("positions"))
+                ).alias(f"_p{i}")
+                for i, t in enumerate(distinct)
+            ]
+        )
+
+    def _range_pruned_docs(
+        self, ranges: list[tuple[int, int]] | None
+    ) -> DataFrame:
+        """(doc_id, text) view pruned to the rarest-term doc_id spans —
+        the scan side of the residual phrase/proximity fallback, so row
+        groups that cannot hold a candidate are skipped."""
+        docs = self.documents.select("doc_id", "text")
+        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
+            overlap = None
+            for lo, hi in ranges:
+                c = F.col("doc_id").between(lo, hi)
+                overlap = c if overlap is None else (overlap | c)
+            docs = docs.filter(overlap)
+        return docs
+
+    @staticmethod
+    def _topk_matched(scored: DataFrame, matched: DataFrame, k: int) -> DataFrame:
+        """Standard tail: restrict the conjunctive scores to the matched
+        docs, (score DESC, doc_id ASC) top-k."""
+        return (
+            scored.join(matched, "doc_id")
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    # ------------------------------------------------------------------
     def search_phrase(
         self, phrase_text: str, k: int = 10, mode: str = "bm25",
         via_positions: bool | None = None,
@@ -1358,16 +1406,7 @@ class SearchEngine:
             # exists() evaluates non-true — dropped, as conjunctive
             # semantics require (scored already enforces it too).
             col_of = {t: i for i, t in enumerate(distinct)}
-            pivot = self._positions_rows(infos, ranges).groupBy(
-                "doc_id"
-            ).agg(
-                *[
-                    F.max(
-                        F.when(F.col("term") == t, F.col("positions"))
-                    ).alias(f"_p{i}")
-                    for i, t in enumerate(distinct)
-                ]
-            )
+            pivot = self._pivot_positions(infos, ranges, distinct)
 
             def _contig(x):
                 c = None
@@ -1381,12 +1420,7 @@ class SearchEngine:
             matched = pivot.filter(
                 F.exists(F.col(f"_p{col_of[lemmas[0]]}"), _contig)
             ).select("doc_id")
-            return (
-                scored.join(matched, "doc_id")
-                .select("doc_id", "score")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-            )
+            return self._topk_matched(scored, matched, k)
         if via_positions:
             # single-lemma phrase: presence IS the phrase test; scored is
             # already exactly the containing docs — no positions needed
@@ -1395,20 +1429,10 @@ class SearchEngine:
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
             )
-        docs = self.documents.select("doc_id", "text")
-        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
-            overlap = None
-            for lo, hi in ranges:
-                c = F.col("doc_id").between(lo, hi)
-                overlap = c if overlap is None else (overlap | c)
-            docs = docs.filter(overlap)
+        docs = self._range_pruned_docs(ranges)
         occ = phrase_count_col(terms_col(F.col("text")), tuple(lemmas))
-        return (
-            scored.join(docs, "doc_id")
-            .filter(occ >= F.lit(1))
-            .select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        return self._topk_matched(
+            scored, docs.filter(occ >= F.lit(1)).select("doc_id"), k
         )
 
     # ------------------------------------------------------------------
@@ -1475,20 +1499,10 @@ class SearchEngine:
         scored = self._pivot_combine(partials, len(infos), conjunctive=True)
         ranges = self._rare_term_ranges(infos[0])
         if via_positions:
-            # indexed within-window test: pivot both lemmas' decoded
-            # position streams per doc; a doc missing a lemma pivots to
-            # NULL and the exists() evaluates non-true — dropped, as
-            # conjunctive semantics require (scored enforces it too)
-            pivot = self._positions_rows(infos, ranges).groupBy(
-                "doc_id"
-            ).agg(
-                *[
-                    F.max(
-                        F.when(F.col("term") == t, F.col("positions"))
-                    ).alias(f"_p{i}")
-                    for i, t in enumerate(distinct)
-                ]
-            )
+            # indexed within-window test over the shared pivot (a doc
+            # missing a lemma pivots to NULL and the exists() evaluates
+            # non-true — dropped, as conjunctive semantics require)
+            pivot = self._pivot_positions(infos, ranges, distinct)
             w = F.lit(int(window))
             matched = pivot.filter(
                 F.exists(
@@ -1498,26 +1512,11 @@ class SearchEngine:
                     ),
                 )
             ).select("doc_id")
-            return (
-                scored.join(matched, "doc_id")
-                .select("doc_id", "score")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-            )
-        docs = self.documents.select("doc_id", "text")
-        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
-            overlap = None
-            for lo, hi in ranges:
-                c = F.col("doc_id").between(lo, hi)
-                overlap = c if overlap is None else (overlap | c)
-            docs = docs.filter(overlap)
+            return self._topk_matched(scored, matched, k)
+        docs = self._range_pruned_docs(ranges)
         mind = min_distance_col(terms_col(F.col("text")), la, lb)
-        return (
-            scored.join(docs, "doc_id")
-            .filter(mind <= F.lit(int(window)))
-            .select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        return self._topk_matched(
+            scored, docs.filter(mind <= F.lit(int(window))).select("doc_id"), k
         )
 
     # ------------------------------------------------------------------

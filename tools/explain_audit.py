@@ -51,7 +51,11 @@ def main() -> None:
     show("batched multi-query search (WindowGroupLimit top-k per query)",
          eng.search_many({q: " ".join(t) for q, t in
                           EQ.BATCH_QUERIES.items()}, k=10))
-    show("dataframe-native BM25", EQ.q_bm25_topk(spark, sf_dir))
+    # native-only helper: the q_bm25_topk GATE entry unions the engine
+    # variant too (r5 fold) — auditing that would mix the engine's
+    # MapInPandas decode plan into the "native" section
+    show("dataframe-native BM25",
+         EQ._topk_spark(spark, sf_dir, EQ.QUERY_TERMS, "bm25"))
     show("LSH candidate pairs", EQ.q_lsh_pairs(spark, sf_dir))
     show("cosine top-k", EQ.q_cosine_topk(spark, sf_dir))
     show(

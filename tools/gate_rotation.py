@@ -44,10 +44,19 @@ def main() -> int:
                 history[name] = max(history.get(name, 0), rnd)
 
     table = {name: history.get(name, 0) for name in QUERIES}
-    # preserve deliberate by-hand resets to 0 (changed code paths)
+    # preserve deliberate by-hand resets to 0 (changed code paths): a
+    # reset stands until a green row NEWER than every round the current
+    # table records proves the changed code re-gated — any green at or
+    # before the table's max round predates the change (it gated the
+    # pre-change code) and must not revive the entry past the window
+    reset_cleared_after = max(GATE_LAST_GREEN.values(), default=0)
     for name, rnd in GATE_LAST_GREEN.items():
-        if name in table and rnd == 0 and table[name] < max(table.values()):
-            pass  # a recorded green in the LATEST round overrides a reset
+        if (
+            name in table
+            and rnd == 0
+            and history.get(name, 0) <= reset_cleared_after
+        ):
+            table[name] = 0
 
     order = {n: i for i, n in enumerate(QUERIES)}
     ranked = sorted(table, key=lambda n: (table[n], order[n]))
