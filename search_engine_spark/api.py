@@ -187,6 +187,23 @@ class EngineAPI:
         self.invalidate()
         return {"result": True, **res}
 
+    # -- DELETE /api/tombstones --------------------------------------------
+    def clear_tombstones(self, keys: DataFrame) -> dict[str, Any]:
+        """Deliberately lift takedowns (deletes.clear_tombstones) so the
+        keys can be re-ingested — the envelope twin of
+        delete_batch(tombstone=True), completing the takedown lifecycle
+        at the API surface. ``keys``: conv_id (lifts the conv-wide
+        tombstone AND every turn-level one) or (conv_id, turn_idx)
+        (null-safe exact rows). No engine invalidation: tombstones are
+        ingest policy, never read state. Returns rows removed."""
+        from .operators.deletes import clear_tombstones
+
+        try:
+            n = clear_tombstones(self.spark, keys, self.index_dir)
+        except ValueError as ex:
+            return {"result": False, "error": str(ex)}
+        return {"result": True, "removed": n}
+
     # -- POST /api/changes ---------------------------------------------------
     def apply_changes(
         self, batch: DataFrame, *, tombstone_deletes: bool = False
