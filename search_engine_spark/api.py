@@ -296,6 +296,7 @@ class EngineAPI:
         mode: str = "bm25",
         max_df: int | None = None,
         snapshot_id: int | None = None,
+        exclude: str | None = None,
     ) -> dict[str, Any]:
         """Paginated search with the reference's response envelope:
         {result, count, data:[{...}]} (SearchServiceImpl.java:78-90).
@@ -304,7 +305,8 @@ class EngineAPI:
         (ApiController.java:43-47, SearchServiceImpl.java:105-114).
         ``snapshot_id`` pins the search to a retained index snapshot
         (time travel, operators/snapshots.py) — beyond-reference surface;
-        as-of engines are built per call, never memoized."""
+        as-of engines are built per call, never memoized. ``exclude``
+        adds boolean NOT (SearchEngine.search_not; first page only)."""
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
         try:
@@ -325,10 +327,15 @@ class EngineAPI:
             # snapshot id or a missing/truncated snapshot store — same
             # envelope contract as every other API error path
             return {"result": False, "error": str(ex)}
-        rows = eng.search(
-            query, k=limit, offset=offset, mode=mode, max_df=max_df,
-            scope=site,
-        ).collect()
+        try:
+            rows = eng.search(
+                query, k=limit, offset=offset, mode=mode, max_df=max_df,
+                scope=site, exclude=exclude,
+            ).collect()
+        except ValueError as ex:
+            # exclude= composed with offset/site/max_df is a caller
+            # error — envelope it like every other invalid-argument path
+            return {"result": False, "error": str(ex)}
         if not rows:
             return {"result": True, "count": 0, "data": []}
         return {
@@ -438,6 +445,106 @@ class EngineAPI:
                     ],
                 }
         return {"result": True, "results": results}
+
+    # -- GET /api/suggest (beyond-reference: "did you mean") ---------------
+    def suggest(
+        self, word: str, *, max_edit: int = 2, limit: int = 10
+    ) -> dict[str, Any]:
+        """Spell suggestions for a (possibly misspelled) query word:
+        dictionary lemmas within ``max_edit`` Levenshtein edits, closest
+        first, most common within a distance first
+        (SearchEngine.suggest). The recovery path right after the
+        reference's hard 'lemma not found' failure
+        (SearchServiceImpl.java:60-62)."""
+        try:
+            eng = self._get_engine()
+        except AnalysisException:
+            return {"result": False, "error": ERR_NO_INDEX,
+                    "is_indexing": self.is_indexing()}
+        try:
+            rows = eng.suggest(word, max_edit=max_edit, k=limit).collect()
+        except ValueError as ex:
+            return {"result": False, "error": str(ex)}
+        return {
+            "result": True,
+            "count": len(rows),
+            "data": [
+                {"term": r["term"], "df": r["df"], "distance": r["dist"]}
+                for r in rows
+            ],
+        }
+
+    # -- GET /api/similar (beyond-reference: more-like-this) ---------------
+    def similar(
+        self, doc_id: int, *, n_terms: int = 3, limit: int = 10,
+        mode: str = "bm25", with_snippets: bool = True,
+    ) -> dict[str, Any]:
+        """Documents similar to ``doc_id`` (SearchEngine.more_like_this):
+        the source doc's top tf*idf lemmas as a disjunctive query, source
+        excluded. Same presentation envelope as search()."""
+        try:
+            eng = self._get_engine()
+        except AnalysisException:
+            return {"result": False, "error": ERR_NO_INDEX,
+                    "is_indexing": self.is_indexing()}
+        try:
+            ids = eng.more_like_this(
+                doc_id, n_terms=n_terms, k=limit, mode=mode
+            )
+        except ValueError as ex:
+            return {"result": False, "error": str(ex)}
+        joined = eng.documents.join(F.broadcast(ids), "doc_id")
+        rows = (
+            joined.select("doc_id", "conv_id", "turn_idx", "score", "text")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        data = []
+        for r in rows:
+            d = {
+                "doc_id": r["doc_id"],
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"],
+                "relevance": r["score"],
+            }
+            if with_snippets:
+                d["snippet"] = (r["text"] or "")[:240]
+            data.append(d)
+        return {"result": True, "count": len(data), "data": data}
+
+    # -- GET /api/facets (beyond-reference: refine-by panel) ---------------
+    def facets(
+        self, query: str, *, by: str = "conv_id", mode: str = "bm25",
+        limit: int | None = None,
+    ) -> dict[str, Any]:
+        """Facet counts over the FULL match set of ``query``
+        (SearchEngine.facet_counts): {facet, n_matches, best_score},
+        n_matches DESC — the refine-by-source panel next to the ranked
+        list."""
+        if not query or not query.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        try:
+            eng = self._get_engine()
+        except AnalysisException:
+            return {"result": False, "error": ERR_NO_INDEX,
+                    "is_indexing": self.is_indexing()}
+        try:
+            df = eng.facet_counts(query, by=by, mode=mode)
+        except ValueError as ex:
+            return {"result": False, "error": str(ex)}
+        rows = (df.limit(int(limit)) if limit else df).collect()
+        return {
+            "result": True,
+            "count": len(rows),
+            "data": [
+                {
+                    "facet": r["facet"],
+                    "n_matches": r["n_matches"],
+                    "best_score": r["best_score"],
+                }
+                for r in rows
+            ],
+        }
 
     # -- GET /api/statistics ----------------------------------------------
     def statistics(self) -> dict[str, Any]:

@@ -845,24 +845,12 @@ SQL_TOMBSTONE_STATS = f"""WITH ndocs AS (
 SCOPE_PREFIX = "src1"  # matches src1, src10..src19 — 11 sources, 275 docs
 
 
-def q_engine_scoped_topk(spark, sf_dir):
-    """P4 site-scoped search through the ENGINE (the reference restricts
-    a search to one site when given, SearchServiceImpl.java:105-114 —
-    our site analog is the documents `source` column, mapped to conv_id
-    so each source is one 'site'). doc_ids are dense in (conv_id,
-    turn_idx) order WITHIN each build batch, so a conv-prefix scope is
-    one contiguous doc_id run PER BATCH, pushed into the postings scan
-    as an OR-of-ranges predicate (row-group pruning) instead of a join
-    against the doc store — at 100 TB a scope costs one boundary
-    lookup, not a shuffle. The index here is deliberately built as base
-    (80%) + incremental append (20%), so the scope owns TWO disjoint
-    runs and the naive [min, max] envelope would admit out-of-scope
-    docs (code-review r3 fix) — the oracle is layout-independent, so
-    bit-equality proves the run-exact path. Scoring statistics stay
-    GLOBAL (scope excludes candidates, it does not re-derive idf —
-    documented deviation from the reference's per-site lemma
-    frequencies). Oracle = the plain scorer with the same scope
-    predicate on the partials."""
+def ensure_scoped_index(spark: SparkSession, sf_dir: str) -> str:
+    """The multi-source index layout shared by the scoped and facet
+    entries: conv_id = the documents ``source`` column (each source is
+    one 'site'), built as base (80%) + incremental append (20%) so a
+    conv-prefix scope owns TWO disjoint doc_id runs. Replay-safe: the
+    build resumes as a no-op and the merge anti-joins to empty."""
     from .operators.incremental import incremental_update
 
     docs = _docs(spark, sf_dir)
@@ -882,7 +870,28 @@ def q_engine_scoped_topk(spark, sf_dir):
     incremental_update(
         spark, transcripts.filter(F.col("turn_idx") % 5 == 0), out
     )
-    eng = SearchEngine(spark, out)
+    return out
+
+
+def q_engine_scoped_topk(spark, sf_dir):
+    """P4 site-scoped search through the ENGINE (the reference restricts
+    a search to one site when given, SearchServiceImpl.java:105-114 —
+    our site analog is the documents `source` column, mapped to conv_id
+    so each source is one 'site'). doc_ids are dense in (conv_id,
+    turn_idx) order WITHIN each build batch, so a conv-prefix scope is
+    one contiguous doc_id run PER BATCH, pushed into the postings scan
+    as an OR-of-ranges predicate (row-group pruning) instead of a join
+    against the doc store — at 100 TB a scope costs one boundary
+    lookup, not a shuffle. The index here is deliberately built as base
+    (80%) + incremental append (20%), so the scope owns TWO disjoint
+    runs and the naive [min, max] envelope would admit out-of-scope
+    docs (code-review r3 fix) — the oracle is layout-independent, so
+    bit-equality proves the run-exact path. Scoring statistics stay
+    GLOBAL (scope excludes candidates, it does not re-derive idf —
+    documented deviation from the reference's per-site lemma
+    frequencies). Oracle = the plain scorer with the same scope
+    predicate on the partials."""
+    eng = SearchEngine(spark, ensure_scoped_index(spark, sf_dir))
     scope_runs = eng._scope_ranges(SCOPE_PREFIX)
     assert scope_runs is not None and len(scope_runs) == 2, (
         f"scoped entry expected 2 doc_id runs (base + append), got "
@@ -1391,6 +1400,180 @@ SELECT doc_id, list_reduce(ss, (a, b) -> a + b) AS score
 FROM agg
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+NOT_EXCLUDE_TERM = "batch"  # df 402 at sf0.01 — the NOT visibly reshapes top-k
+SUGGEST_WORDS = ("grup", "quey")  # 1- and 2-edit hits against the dictionary
+SUGGEST_MAX_EDIT = 2
+MLT_SRC_DOC = 7       # non-blank at every sf; top tf*idf terms well-separated
+MLT_N_TERMS = 3
+
+
+def q_engine_not_topk(spark, sf_dir):
+    """Boolean NOT through the engine (SearchEngine.search_not): the
+    standard 3-term conjunctive query restricted to docs NOT containing
+    NOT_EXCLUDE_TERM — positives through the classic pruned pivot plan,
+    exclusion as ONE left-anti join against the excluded lemma's decoded
+    doc_ids BEFORE the top-k cut. The excluded term is corpus-hot, so
+    the surviving set is disjoint from the plain bm25_topk answer —
+    the oracle (same scorer + correlated NOT EXISTS) is green only if
+    the anti-join drops exactly the right docs and the survivors'
+    scores stay bit-identical."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    ids = eng.search_not(
+        " ".join(QUERY_TERMS), NOT_EXCLUDE_TERM, k=TOPK
+    )
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def q_engine_suggest(spark, sf_dir):
+    """Spell suggestion ("did you mean") through the engine: for each
+    misspelled SUGGEST_WORDS entry, dictionary lemmas within
+    SUGGEST_MAX_EDIT Levenshtein edits ranked (dist ASC, df DESC, term
+    ASC) — one narrow vocab-sized dictionary scan per word with a
+    length-band prefilter, JVM levenshtein, TakeOrderedAndProject.
+    Oracle recomputes distances with DuckDB's levenshtein over the same
+    dft dictionary, so the entry pins the edit-distance semantics, the
+    df values, AND the rank order."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    out = None
+    for w in SUGGEST_WORDS:
+        part = (
+            eng.suggest(w, max_edit=SUGGEST_MAX_EDIT, k=TOPK)
+            .withColumn("word", F.lit(w))
+            .select("word", "term", "df", "dist")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _sql_suggest() -> str:
+    blocks = []
+    for w in SUGGEST_WORDS:
+        blocks.append(f"""
+SELECT * FROM (
+    SELECT '{w}' AS word, term, CAST(df AS BIGINT) AS df,
+           CAST(levenshtein(term, '{w}') AS BIGINT) AS dist
+    FROM dft
+    WHERE abs(length(term) - {len(w)}) <= {SUGGEST_MAX_EDIT}
+      AND levenshtein(term, '{w}') <= {SUGGEST_MAX_EDIT}
+    ORDER BY dist ASC, df DESC, term ASC
+    LIMIT {TOPK}
+)""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"WITH {_base_ctes()}\n{union}"
+
+
+def q_engine_mlt_topk(spark, sf_dir):
+    """More-like-this through the engine: the source doc's top
+    MLT_N_TERMS lemmas by tf*idf (tie: term ASC) become a disjunctive
+    BM25 query, source doc excluded before the top-k cut
+    (SearchEngine.more_like_this — one pruned point-read of the doc
+    store + driver-side term selection + the classic disjunctive plan).
+    Oracle re-derives the SAME term selection from its tf/dft CTEs
+    (row_number over tf*idf DESC, term ASC) and accumulates partials in
+    df-asc order via the established list_reduce pattern, so the entry
+    is green only if selection, exclusion, and float accumulation all
+    agree bit-exactly."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    src = (
+        eng.documents.filter(F.col("turn_idx") == MLT_SRC_DOC)
+        .select("doc_id").collect()
+    )
+    assert src, f"MLT source doc turn_idx={MLT_SRC_DOC} missing from index"
+    ids = eng.more_like_this(
+        int(src[0]["doc_id"]), n_terms=MLT_N_TERMS, k=TOPK
+    )
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _sql_mlt_topk(mode: str = "bm25", k: int = TOPK) -> str:
+    idf = ("ln(1 + (stats.n_docs - dft.df + 0.5::DOUBLE) / "
+           "(dft.df + 0.5::DOUBLE))")
+    return f"""
+WITH {_base_ctes()},
+src AS (SELECT term, tf FROM tf WHERE doc_id = {MLT_SRC_DOC}),
+ranked AS (
+    SELECT src.term,
+           row_number() OVER (
+               ORDER BY src.tf * {idf} DESC, src.term ASC
+           ) AS rn
+    FROM src JOIN dft USING (term) CROSS JOIN stats
+),
+sel AS (SELECT term FROM ranked WHERE rn <= {MLT_N_TERMS}),
+partials AS (
+    SELECT tf.doc_id, tf.term, dft.df, {_score_sql(mode)} AS s
+    FROM tf
+    JOIN dft USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.term IN (SELECT term FROM sel)
+      AND tf.doc_id <> {MLT_SRC_DOC}
+),
+agg AS (
+    SELECT doc_id, list(s ORDER BY df ASC, term ASC) AS ss
+    FROM partials GROUP BY doc_id
+)
+SELECT doc_id, list_reduce(ss, (a, b) -> a + b) AS score
+FROM agg
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def q_engine_facets(spark, sf_dir):
+    """Faceted search through the engine (SearchEngine.facet_counts):
+    the FULL conjunctive match set of the standard query, grouped by
+    source — (facet, n_matches, best_score) — over the multi-source
+    index (conv_id = the documents `source` column, the same layout the
+    scoped entry pins). One doc_id-equi metadata join + one n_facets-row
+    exchange after map-side partial aggregation; count and max are
+    order-insensitive, so the oracle (same pivot scorer, GROUP BY
+    source) pins membership per facet AND per-doc score bit-equality
+    through the MAX."""
+    eng = SearchEngine(spark, ensure_scoped_index(spark, sf_dir))
+    return eng.facet_counts(" ".join(QUERY_TERMS), by="conv_id")
+
+
+def _sql_facets(mode: str = "bm25") -> str:
+    terms = _oracle_terms_sorted()
+    n = len(terms)
+    cases = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(n))
+    notnull = " AND ".join(f"s{i} IS NOT NULL" for i in range(n))
+    return f"""
+WITH {_base_ctes()},
+partials AS (
+    SELECT tf.doc_id, tf.term, {_score_sql(mode)} AS s
+    FROM tf
+    JOIN dft USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.term IN ({_in_list(terms)})
+),
+pivoted AS (SELECT doc_id, {cases} FROM partials GROUP BY doc_id),
+m AS (
+    SELECT doc_id, {total} AS score FROM pivoted WHERE {notnull}
+)
+SELECT d.source AS facet, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MAX(m.score) AS best_score
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY n_matches DESC, facet ASC
 """
 
 
@@ -4021,6 +4204,10 @@ GATE_LAST_GREEN: dict[str, int] = {
     # proximity — plus the r4-green mutation entries whose read/commit
     # paths changed in r5 (delete-vector broadcast; compaction snapshot-log
     # invalidation; snapshot pin-integrity refusal).
+    "engine_not_topk": 0,
+    "engine_suggest": 0,
+    "engine_mlt_topk": 0,
+    "engine_facets": 0,
     "bm25_topk": 0,
     "relevance_ref_topk": 0,
     "engine_cdc_stats": 0,
@@ -4066,6 +4253,10 @@ GATE_LAST_GREEN: dict[str, int] = {
 # broadcast) come first so they re-gate soonest.
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new/changed in r5 --
+    "engine_not_topk": q_engine_not_topk,
+    "engine_suggest": q_engine_suggest,
+    "engine_mlt_topk": q_engine_mlt_topk,
+    "engine_facets": q_engine_facets,
     "engine_cdc_stats": q_engine_cdc_stats,
     "engine_tombstone_stats": q_engine_tombstone_stats,
     "engine_prox_pos_topk": q_engine_prox_pos_topk,
@@ -4217,6 +4408,20 @@ ORACLES: dict[str, str] = {
     "engine_tombstone_stats": SQL_TOMBSTONE_STATS,
     # positional-index proximity == conjunctive BM25 ∩ min-dist filter
     "engine_prox_pos_topk": _engine_prox_sql(),
+    # boolean NOT: same scorer + correlated NOT EXISTS on the partials
+    "engine_not_topk": _topk_sql(
+        _oracle_terms_sorted(), "bm25",
+        extra_pred=(
+            "NOT EXISTS (SELECT 1 FROM tf tx WHERE tx.doc_id = tf.doc_id "
+            f"AND tx.term = '{NOT_EXCLUDE_TERM}')"
+        ),
+    ),
+    # dictionary edit-distance suggestions, rank order pinned
+    "engine_suggest": _sql_suggest(),
+    # more-like-this: term selection + disjunctive scorer re-derived
+    "engine_mlt_topk": _sql_mlt_topk(),
+    # full-match-set facet counts over the multi-source layout
+    "engine_facets": _sql_facets(),
     "chunk_dedup": _sql_chunk_dedup(),
     "sample_mix": _sql_sample_mix(),
     # salted hot-term build vs the plain SQL scorer over the derived corpus

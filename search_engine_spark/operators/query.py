@@ -1520,6 +1520,208 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
+    def search_not(
+        self, query: str, exclude_query: str, k: int = 10,
+        mode: str = "bm25", conjunctive: bool = True,
+    ) -> DataFrame:
+        """Boolean NOT: top-k for ``query`` restricted to docs containing
+        NO lemma of ``exclude_query`` — the missing boolean connective
+        next to conjunctive (AND) and disjunctive (OR) search_ids modes.
+        Cite: beyond-reference surface (the reference's query language is
+        conjunctive-only, SearchServiceImpl.java:34-103).
+
+        Plan: the classic pivot plan scores the positive terms (rarest-
+        term range pruning intact), then ONE left-anti join against the
+        excluded lemmas' decoded doc_ids drops excluded docs BEFORE the
+        top-k cut (an excluded doc must not occupy a result slot). The
+        exclusion side cannot be range-pruned — NOT must see every doc
+        that contains the excluded lemma, that's inherent to negation —
+        but it decodes only the excluded terms' postings (bucket
+        partition-pruned + term row-group-pruned like any scan) and
+        carries doc_id only. Exclusion lemmas absent from the dictionary
+        exclude nothing; positive-term semantics are exactly search_ids'.
+        Both sides run the delete-vector-masked decode kernels, so a
+        replaced doc can neither match nor shield a match."""
+        self._check_mode(mode)
+
+        def empty() -> DataFrame:
+            return self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
+
+        infos, n_missing = self.lookup_terms(query)
+        if (conjunctive and n_missing) or not infos:
+            return empty()
+        ex_terms = sorted(set(analyze_text(exclude_query)))
+        ex_infos, _ = self._infos_for_terms(ex_terms)
+        partials = self.candidate_scores(
+            infos, mode=mode, conjunctive=conjunctive
+        )
+        scored = self._pivot_combine(partials, len(infos), conjunctive)
+        if ex_infos:
+            ex_ids = self.candidate_scores(
+                ex_infos, mode=mode, conjunctive=False
+            ).select("doc_id")
+            scored = scored.join(ex_ids, "doc_id", "left_anti")
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        )
+
+    # ------------------------------------------------------------------
+    def suggest(
+        self, word: str, max_edit: int = 2, k: int = 10
+    ) -> DataFrame:
+        """Spell suggestion ("did you mean"): dictionary lemmas within
+        Levenshtein distance ``max_edit`` of the lowercased ``word``,
+        ranked (dist ASC, df DESC, term ASC) top-k — closest first, most
+        common within a distance first. Cite: beyond-reference surface
+        (the reference hard-fails unknown lemmas, SearchServiceImpl.java:
+        60-62 — this is the recovery path a user hits right after).
+
+        Plan: ONE narrow scan of the vocab-sized dictionary (term_stats —
+        tiny relative to the corpus at any scale; the vocabulary grows
+        ~sublinearly in corpus size) with a length-band prefilter
+        (|len(term) - len(word)| <= max_edit lower-bounds the edit
+        distance, so most of the vocabulary never reaches the DP), the
+        JVM levenshtein expression for survivors, and a
+        TakeOrderedAndProject top-k. No shuffle, no Python, no collect."""
+        w = (word or "").strip().lower()
+        if not w:
+            raise ValueError("suggest() needs a non-empty word")
+        max_edit = int(max_edit)
+        if max_edit < 0:
+            raise ValueError("max_edit must be >= 0")
+        dist = F.levenshtein(F.col("term"), F.lit(w)).cast("long")
+        return (
+            self.term_stats
+            .filter(
+                F.abs(F.length("term") - F.lit(len(w))) <= F.lit(max_edit)
+            )
+            .withColumn("dist", dist)
+            .filter(F.col("dist") <= F.lit(max_edit))
+            .select("term", F.col("df").cast("long").alias("df"), "dist")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(int(k))
+        )
+
+    # ------------------------------------------------------------------
+    def more_like_this(
+        self, doc_id: int, n_terms: int = 3, k: int = 10,
+        mode: str = "bm25",
+    ) -> DataFrame:
+        """Find documents similar to ``doc_id``: the source doc's top
+        ``n_terms`` lemmas by tf*idf (tie: term ASC) become a disjunctive
+        query over the index; the source doc itself is excluded BEFORE
+        the top-k cut. Cite: beyond-reference surface (Lucene's
+        MoreLikeThis shape re-expressed over the classic pivot plan).
+
+        Plan: ONE pruned point-read of the doc store fetches the source
+        text (k-row work); term selection is driver-side arithmetic over
+        its |doc| lemma counts plus the already-memoized dictionary rows
+        (no extra job beyond the <=|doc|-row dictionary lookup); then the
+        standard disjunctive classic plan — bucket/term-pruned scan,
+        pivot, FIXED df-asc accumulation order — scores the candidates.
+        tf*idf selection uses the same idf the scorer uses (_idf over
+        LIVE n_docs), so selection and scoring can never disagree about
+        term weight. The doc store read and the decode kernels are both
+        delete-vector-masked: a replaced doc is not a valid source and
+        never appears as a neighbor."""
+        self._check_mode(mode)
+        doc_id = int(doc_id)
+        rows = (
+            self.documents.filter(F.col("doc_id") == doc_id)
+            .select("text").collect()
+        )
+        if not rows:
+            raise ValueError(
+                f"doc_id {doc_id} not found in the doc store "
+                "(or deleted/replaced)"
+            )
+        from collections import Counter
+
+        tf = Counter(analyze_text(rows[0]["text"] or ""))
+        self._fill_df_cache(sorted(tf))
+        ranked = sorted(
+            (
+                (t, c) for t, c in tf.items()
+                if self._df_cache[t] is not None
+            ),
+            key=lambda tc: (
+                -(tc[1] * self._idf(self._df_cache[tc[0]])), tc[0]
+            ),
+        )
+        sel = sorted(t for t, _ in ranked[: int(n_terms)])
+        if not sel:
+            return self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
+        infos, _ = self._infos_for_terms(sel)
+        partials = self.candidate_scores(
+            infos, mode=mode, conjunctive=False
+        )
+        scored = self._pivot_combine(
+            partials, len(infos), conjunctive=False
+        )
+        return (
+            scored.filter(F.col("doc_id") != F.lit(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
+    # ------------------------------------------------------------------
+    def facet_counts(
+        self, query: str, by: str = "conv_id", mode: str = "bm25",
+        conjunctive: bool = True,
+    ) -> DataFrame:
+        """Facet the FULL match set of ``query`` by a doc-store column:
+        (facet, n_matches, best_score), n_matches DESC / facet ASC — the
+        "refine by source/site" panel next to the ranked list. Cite:
+        beyond-reference surface (the reference returns a flat ranked
+        list only, SearchServiceImpl.java:34-103).
+
+        Plan: the classic pivot plan produces the scored match set
+        (NOT top-k cut — facets summarize everything that matched), one
+        doc_id-equi join attaches the facet column from the (delete-
+        masked) doc store, and a facet-keyed aggregate — partial map-side
+        combine, then one exchange of n_facets rows — produces the
+        counts. count and max are order-insensitive, so the result is
+        deterministic regardless of plan shape. At 100 TB the join is
+        the standard doc-metadata attach (AQE picks broadcast when the
+        match set is small); a dedicated facet-column posting stream
+        would remove it, documented as the next step in PERF.md."""
+        self._check_mode(mode)
+        if by not in self.documents.columns:
+            raise ValueError(
+                f"facet column {by!r} not in the doc store "
+                f"(have: {self.documents.columns})"
+            )
+
+        def empty() -> DataFrame:
+            return self.spark.createDataFrame(
+                [], schema="facet string, n_matches long, best_score double"
+            )
+
+        infos, n_missing = self.lookup_terms(query)
+        if (conjunctive and n_missing) or not infos:
+            return empty()
+        partials = self.candidate_scores(
+            infos, mode=mode, conjunctive=conjunctive
+        )
+        scored = self._pivot_combine(partials, len(infos), conjunctive)
+        side = self.documents.select(
+            "doc_id", F.col(by).cast("string").alias("facet")
+        )
+        return (
+            scored.join(side, "doc_id")
+            .groupBy("facet")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_matches"),
+                F.max("score").alias("best_score"),
+            )
+            .orderBy(F.desc("n_matches"), F.asc("facet"))
+        )
+
+    # ------------------------------------------------------------------
     def search_many(
         self,
         queries: dict[str, str] | list[str],
@@ -1988,12 +2190,24 @@ class SearchEngine:
         conjunctive: bool = True,
         with_snippets: bool = True,
         scope: str | None = None,
+        exclude: str | None = None,
     ) -> DataFrame:
-        """Full result projection (P6): doc metadata + score + snippet."""
-        ids = self.search_ids(
-            query, k=k, offset=offset, mode=mode, max_df=max_df,
-            conjunctive=conjunctive, scope=scope,
-        )
+        """Full result projection (P6): doc metadata + score + snippet.
+        ``exclude`` routes through search_not (boolean NOT; first page
+        only — pagination/scope/df-cutoff ride the classic plan)."""
+        if exclude is not None:
+            if offset != 0 or scope is not None or max_df is not None:
+                raise ValueError(
+                    "exclude= requires offset=0, scope=None, max_df=None"
+                )
+            ids = self.search_not(
+                query, exclude, k=k, mode=mode, conjunctive=conjunctive
+            )
+        else:
+            ids = self.search_ids(
+                query, k=k, offset=offset, mode=mode, max_df=max_df,
+                conjunctive=conjunctive, scope=scope,
+            )
         joined = self.documents.join(F.broadcast(ids), "doc_id")
         if with_snippets:
             lemmas = set(analyze_text(query))
