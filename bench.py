@@ -30,6 +30,8 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from search_engine_spark import entry_queries as EQ  # noqa: E402
 from search_engine_spark.operators.index_build import build_index  # noqa: E402
 from search_engine_spark.operators.query import SearchEngine  # noqa: E402
@@ -160,6 +162,26 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             eng.search_many(
                 {q: " ".join(ts) for q, ts in EQ.BATCH_QUERIES.items()},
                 k=10,
+            ).collect()
+        ),
+        # r5 query surfaces (new keys — compare totals across rounds on
+        # the common set, BENCH.md):
+        "engine_not_topk": lambda: len(
+            eng.search_not(
+                " ".join(EQ.QUERY_TERMS), EQ.NOT_EXCLUDE_TERM, k=10
+            ).collect()
+        ),
+        "engine_suggest": lambda: len(
+            eng.suggest(EQ.SUGGEST_WORDS[0], k=10).collect()
+        ),
+        "engine_mlt": lambda: len(
+            eng.more_like_this(
+                int(
+                    eng.documents.filter(
+                        F.col("turn_idx") == EQ.MLT_SRC_DOC
+                    ).select("doc_id").collect()[0]["doc_id"]
+                ),
+                n_terms=EQ.MLT_N_TERMS, k=10,
             ).collect()
         ),
         # native-only helper: the q_bm25_topk GATE entry now unions the

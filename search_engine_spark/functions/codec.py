@@ -189,30 +189,40 @@ def decode_positions_grouped(
     return (s - np.repeat(base, tfs)).astype(np.int64)
 
 
-def decode_postings_grouped(
-    ids_bufs, tfs_bufs
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Grouped inverse of ``encode_postings`` over MANY blocks at once:
-    -> (doc_ids int64 concat, tfs int64 concat, counts per block).
+def decode_doc_ids_grouped(ids_bufs) -> tuple[np.ndarray, np.ndarray]:
+    """The doc_ids half of ``decode_postings_grouped`` alone:
+    -> (doc_ids int64 concat, counts per block). For readers that need
+    MEMBERSHIP, not scores (boolean-NOT exclusion) — skips the tfs
+    VByte pass entirely, so the caller can also skip reading the tfs/dls
+    columns from parquet.
 
     Each block's ids stream is [first_absolute, gap, gap, ...], so after
     one grouped VByte decode the absolutes come back via a segmented
     cumsum: subtract, per block, the running sum accumulated BEFORE the
-    block (base = S[start] - first), all in numpy. Bit-identical to
-    concatenating per-block ``decode_postings`` results.
+    block (base = S[start] - first), all in numpy.
     """
     gaps, n = varbyte_decode_groups(ids_bufs)
-    tfs, _ = varbyte_decode_groups(tfs_bufs)
     if gaps.size == 0:
-        return (
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.int64),
-            n,
-        )
+        return np.empty(0, dtype=np.int64), n
     s = np.cumsum(gaps, dtype=np.uint64)
     starts = np.concatenate(([0], np.cumsum(n)[:-1]))
     nz = n > 0
     base = np.zeros(n.size, dtype=np.uint64)
     base[nz] = s[starts[nz]] - gaps[starts[nz]]
     ids = (s - np.repeat(base, n)).astype(np.int64)
+    return ids, n
+
+
+def decode_postings_grouped(
+    ids_bufs, tfs_bufs
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Grouped inverse of ``encode_postings`` over MANY blocks at once:
+    -> (doc_ids int64 concat, tfs int64 concat, counts per block).
+    Bit-identical to concatenating per-block ``decode_postings``
+    results; the ids half is ``decode_doc_ids_grouped``.
+    """
+    ids, n = decode_doc_ids_grouped(ids_bufs)
+    if ids.size == 0:
+        return ids, np.empty(0, dtype=np.int64), n
+    tfs, _ = varbyte_decode_groups(tfs_bufs)
     return ids, tfs.astype(np.int64), n

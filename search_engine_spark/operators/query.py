@@ -1520,6 +1520,46 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
+    def matching_doc_ids(self, infos: list[TermInfo]) -> DataFrame:
+        """doc_ids of documents containing ANY of ``infos``' terms —
+        membership only, no scores. Decodes ONLY the doc_ids stream
+        (the parquet scan reads 1 binary column instead of 3, and the
+        kernel skips the tfs/dls VByte passes; bucket partition pruning
+        and term row-group pushdown as in candidate_scores). The delete
+        vector is subtracted like every posting reader (a replaced
+        doc's old id must not act on any result). A doc appears once
+        per containing term — callers doing anti-joins need no
+        distinct; others dedup as needed."""
+        from ..functions.spark_hash import spark_bucket
+
+        terms = [ti.term for ti in infos]
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
+        blocks = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select("doc_ids")
+        deleted_bc = self._deleted_bc
+        out_schema = T.StructType(
+            [T.StructField("doc_id", T.LongType(), False)]
+        )
+
+        def decode_ids(batches):
+            from ..functions.codec import decode_doc_ids_grouped
+
+            deleted = deleted_bc.value if deleted_bc is not None else None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids, _ = decode_doc_ids_grouped(
+                    list(pdf["doc_ids"].to_numpy())
+                )
+                if deleted is not None and ids.size:
+                    ids = ids[~np.isin(ids, deleted)]
+                if ids.size:
+                    yield pd.DataFrame({"doc_id": ids})
+
+        return blocks.mapInPandas(decode_ids, schema=out_schema)
+
+    # ------------------------------------------------------------------
     def search_not(
         self, query: str, exclude_query: str, k: int = 10,
         mode: str = "bm25", conjunctive: bool = True,
@@ -1536,9 +1576,9 @@ class SearchEngine:
         top-k cut (an excluded doc must not occupy a result slot). The
         exclusion side cannot be range-pruned — NOT must see every doc
         that contains the excluded lemma, that's inherent to negation —
-        but it decodes only the excluded terms' postings (bucket
-        partition-pruned + term row-group-pruned like any scan) and
-        carries doc_id only. Exclusion lemmas absent from the dictionary
+        but it runs the membership-only reader (matching_doc_ids):
+        bucket partition pruning + term row-group pushdown like any
+        scan, ONE binary column read, ids-stream-only decode. Exclusion lemmas absent from the dictionary
         exclude nothing; positive-term semantics are exactly search_ids'.
         Both sides run the delete-vector-masked decode kernels, so a
         replaced doc can neither match nor shield a match."""
@@ -1559,10 +1599,9 @@ class SearchEngine:
         )
         scored = self._pivot_combine(partials, len(infos), conjunctive)
         if ex_infos:
-            ex_ids = self.candidate_scores(
-                ex_infos, mode=mode, conjunctive=False
-            ).select("doc_id")
-            scored = scored.join(ex_ids, "doc_id", "left_anti")
+            scored = scored.join(
+                self.matching_doc_ids(ex_infos), "doc_id", "left_anti"
+            )
         return (
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         )

@@ -78,3 +78,35 @@ def test_varbyte_encode_sliced_matches_per_block():
         assert sliced == expected
 
     check()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.sets(
+            st.integers(min_value=0, max_value=10**13), min_size=0,
+            max_size=60,
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_doc_ids_grouped_matches_full_decode(groups):
+    """decode_doc_ids_grouped (the membership-only reader behind boolean
+    NOT) must return exactly the ids half of decode_postings_grouped."""
+    from search_engine_spark.functions.codec import (
+        decode_doc_ids_grouped,
+        decode_postings_grouped,
+    )
+
+    rng = np.random.default_rng(11)
+    ids_bufs, tfs_bufs = [], []
+    for g in groups:
+        ids = np.array(sorted(g), dtype=np.uint64)
+        tfs = rng.integers(1, 1000, ids.size).astype(np.uint64)
+        db, tb = encode_postings(ids, tfs)
+        ids_bufs.append(db)
+        tfs_bufs.append(tb)
+    ids_only, n_only = decode_doc_ids_grouped(ids_bufs)
+    ids_full, _, n_full = decode_postings_grouped(ids_bufs, tfs_bufs)
+    assert ids_only.tolist() == ids_full.tolist()
+    assert n_only.tolist() == n_full.tolist()

@@ -87,6 +87,24 @@ def main() -> None:
                                  k=10),
     )
     show(
+        "boolean NOT (classic plan on the positives; exclusion = ONE "
+        "LeftAnti join whose build side is the excluded term's own "
+        "bucket-pruned term-pushed posting scan, BEFORE the top-k)",
+        eng.search_not(" ".join(EQ.QUERY_TERMS), EQ.NOT_EXCLUDE_TERM,
+                       k=10),
+    )
+    show(
+        "spell suggestion (one WholeStageCodegen span over the "
+        "vocab-sized term_stats scan: length-band filter before the "
+        "levenshtein DP, TakeOrderedAndProject; ZERO Exchange)",
+        eng.suggest(EQ.SUGGEST_WORDS[0]),
+    )
+    show(
+        "facet counts (pivot match set ⋈ doc-store facet projection, "
+        "two-phase HashAggregate, one n_facets-row exchange)",
+        eng.facet_counts(" ".join(EQ.QUERY_TERMS), by="conv_id"),
+    )
+    show(
         "decontamination (eval shingle set as BroadcastHashJoin — the "
         "corpus side never shuffles for the membership probe)",
         EQ.q_decontaminate(spark, sf_dir),
