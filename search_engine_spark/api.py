@@ -488,6 +488,7 @@ class EngineAPI:
             return {"result": False, "error": ERR_NO_INDEX,
                     "is_indexing": self.is_indexing()}
         try:
+            sel = eng.mlt_terms(doc_id, n_terms=n_terms)
             ids = eng.more_like_this(
                 doc_id, n_terms=n_terms, k=limit, mode=mode
             )
@@ -499,6 +500,9 @@ class EngineAPI:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .collect()
         )
+        from .functions.snippet import make_snippet
+
+        lemmas = set(sel)
         data = []
         for r in rows:
             d = {
@@ -508,7 +512,9 @@ class EngineAPI:
                 "relevance": r["score"],
             }
             if with_snippets:
-                d["snippet"] = (r["text"] or "")[:240]
+                # highlight the very lemmas the MLT query used — k-row
+                # driver-side work, same formatter as search()
+                d["snippet"] = make_snippet(r["text"] or "", lemmas)
             data.append(d)
         return {"result": True, "count": len(data), "data": data}
 

@@ -1644,28 +1644,15 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
-    def more_like_this(
-        self, doc_id: int, n_terms: int = 3, k: int = 10,
-        mode: str = "bm25",
-    ) -> DataFrame:
-        """Find documents similar to ``doc_id``: the source doc's top
-        ``n_terms`` lemmas by tf*idf (tie: term ASC) become a disjunctive
-        query over the index; the source doc itself is excluded BEFORE
-        the top-k cut. Cite: beyond-reference surface (Lucene's
-        MoreLikeThis shape re-expressed over the classic pivot plan).
-
-        Plan: ONE pruned point-read of the doc store fetches the source
-        text (k-row work); term selection is driver-side arithmetic over
-        its |doc| lemma counts plus the already-memoized dictionary rows
-        (no extra job beyond the <=|doc|-row dictionary lookup); then the
-        standard disjunctive classic plan — bucket/term-pruned scan,
-        pivot, FIXED df-asc accumulation order — scores the candidates.
-        tf*idf selection uses the same idf the scorer uses (_idf over
-        LIVE n_docs), so selection and scoring can never disagree about
-        term weight. The doc store read and the decode kernels are both
-        delete-vector-masked: a replaced doc is not a valid source and
-        never appears as a neighbor."""
-        self._check_mode(mode)
+    def mlt_terms(self, doc_id: int, n_terms: int = 3) -> list[str]:
+        """The term-selection half of ``more_like_this``: the source
+        doc's top ``n_terms`` dictionary lemmas by tf*idf (tie: term
+        ASC), returned sorted — one pruned point-read of the doc store
+        plus the memoized dictionary lookup; the idf is the scorer's
+        own (_idf over LIVE n_docs), so selection and scoring can never
+        disagree about term weight. Exposed so presentation layers
+        (api.similar) can highlight the very terms the query used.
+        Raises ValueError for an unknown (or deleted/replaced) doc."""
         doc_id = int(doc_id)
         rows = (
             self.documents.filter(F.col("doc_id") == doc_id)
@@ -1689,7 +1676,32 @@ class SearchEngine:
                 -(tc[1] * self._idf(self._df_cache[tc[0]])), tc[0]
             ),
         )
-        sel = sorted(t for t, _ in ranked[: int(n_terms)])
+        return sorted(t for t, _ in ranked[: int(n_terms)])
+
+    def more_like_this(
+        self, doc_id: int, n_terms: int = 3, k: int = 10,
+        mode: str = "bm25",
+    ) -> DataFrame:
+        """Find documents similar to ``doc_id``: the source doc's top
+        ``n_terms`` lemmas by tf*idf (tie: term ASC) become a disjunctive
+        query over the index; the source doc itself is excluded BEFORE
+        the top-k cut. Cite: beyond-reference surface (Lucene's
+        MoreLikeThis shape re-expressed over the classic pivot plan).
+
+        Plan: ONE pruned point-read of the doc store fetches the source
+        text (k-row work); term selection is driver-side arithmetic over
+        its |doc| lemma counts plus the already-memoized dictionary rows
+        (no extra job beyond the <=|doc|-row dictionary lookup); then the
+        standard disjunctive classic plan — bucket/term-pruned scan,
+        pivot, FIXED df-asc accumulation order — scores the candidates.
+        tf*idf selection uses the same idf the scorer uses (_idf over
+        LIVE n_docs), so selection and scoring can never disagree about
+        term weight. The doc store read and the decode kernels are both
+        delete-vector-masked: a replaced doc is not a valid source and
+        never appears as a neighbor."""
+        self._check_mode(mode)
+        sel = self.mlt_terms(doc_id, n_terms=n_terms)
+        doc_id = int(doc_id)
         if not sel:
             return self.spark.createDataFrame(
                 [], schema="doc_id long, score double"

@@ -41,6 +41,9 @@ def test_api_similar_envelope(api):
     assert res["result"] is True and 0 < res["count"] <= 5
     assert all(d["doc_id"] != 0 for d in res["data"])
     assert all("snippet" in d for d in res["data"])
+    # snippets highlight the MLT query's own lemmas (the top neighbor
+    # must contain at least one selected term — that's why it matched)
+    assert "<b>" in res["data"][0]["snippet"]
     rel = [d["relevance"] for d in res["data"]]
     assert rel == sorted(rel, reverse=True)
 
