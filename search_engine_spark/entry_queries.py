@@ -1470,6 +1470,40 @@ SELECT * FROM (
     return f"WITH {_base_ctes()}\n{union}"
 
 
+def q_engine_suggest_fast(spark, sf_dir):
+    """The SymSpell scale path under the gate: the same misspelled
+    probes as `engine_suggest`, answered through the symmetric-delete
+    index (operators/suggest_index.py — the query word's delete
+    variants probe the range-partitioned delete-key table, candidates
+    join LIVE term_stats, exact levenshtein over the few survivors)
+    against the SAME DuckDB levenshtein oracle. Green only if the
+    delete-key candidate superset really covers every true match AND
+    the final ordering/df/distance agree with the scan path's oracle
+    bit-for-bit. The build is replay-safe (overwrite + epoch
+    handshake)."""
+    from .operators.suggest_index import build_suggest_index
+
+    idx = ensure_index(spark, sf_dir)
+    eng = SearchEngine(spark, idx)
+    if not all(
+        eng._suggest_index_usable(w, SUGGEST_MAX_EDIT)
+        for w in SUGGEST_WORDS
+    ):
+        build_suggest_index(spark, idx, max_edit=SUGGEST_MAX_EDIT)
+    out = None
+    for w in SUGGEST_WORDS:
+        part = (
+            eng.suggest(
+                w, max_edit=SUGGEST_MAX_EDIT, k=TOPK,
+                use_delete_index=True,
+            )
+            .withColumn("word", F.lit(w))
+            .select("word", "term", "df", "dist")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_engine_mlt_topk(spark, sf_dir):
     """More-like-this through the engine: the source doc's top
     MLT_N_TERMS lemmas by tf*idf (tie: term ASC) become a disjunctive
@@ -4206,6 +4240,7 @@ GATE_LAST_GREEN: dict[str, int] = {
     # invalidation; snapshot pin-integrity refusal).
     "engine_not_topk": 0,
     "engine_suggest": 0,
+    "engine_suggest_fast": 0,
     "engine_mlt_topk": 0,
     "engine_facets": 0,
     "bm25_topk": 0,
@@ -4255,6 +4290,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new/changed in r5 --
     "engine_not_topk": q_engine_not_topk,
     "engine_suggest": q_engine_suggest,
+    "engine_suggest_fast": q_engine_suggest_fast,
     "engine_mlt_topk": q_engine_mlt_topk,
     "engine_facets": q_engine_facets,
     "engine_cdc_stats": q_engine_cdc_stats,
@@ -4418,6 +4454,8 @@ ORACLES: dict[str, str] = {
     ),
     # dictionary edit-distance suggestions, rank order pinned
     "engine_suggest": _sql_suggest(),
+    # SymSpell delete-index path must match the same levenshtein oracle
+    "engine_suggest_fast": _sql_suggest(),
     # more-like-this: term selection + disjunctive scorer re-derived
     "engine_mlt_topk": _sql_mlt_topk(),
     # full-match-set facet counts over the multi-source layout

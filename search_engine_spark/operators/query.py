@@ -1607,8 +1607,29 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
+    def _suggest_index_usable(self, word: str, max_edit: int) -> bool:
+        """True iff the symmetric-delete index (operators/
+        suggest_index.py) can answer (word, max_edit) EXACTLY: built,
+        covering the requested edit distance, fresh (its recorded
+        stats_epoch matches the live corpus — incremental merges grow
+        the vocabulary, which only the scan path sees), word short
+        enough that the builder's term-length cap cannot hide a true
+        match, and the engine not pinned to a snapshot (the delete
+        index is a HEAD-derived cache)."""
+        if self.snapshot is not None:
+            return False
+        from .suggest_index import read_suggest_manifest
+
+        m = read_suggest_manifest(self.index_dir)
+        if m is None or max_edit > m["max_edit"]:
+            return False
+        if m["stats_epoch"] is None or m["stats_epoch"] != self._stats_epoch:
+            return False
+        return len(word) <= m["max_term_len"] - m["max_edit"]
+
     def suggest(
-        self, word: str, max_edit: int = 2, k: int = 10
+        self, word: str, max_edit: int = 2, k: int = 10,
+        use_delete_index: bool | None = None,
     ) -> DataFrame:
         """Spell suggestion ("did you mean"): dictionary lemmas within
         Levenshtein distance ``max_edit`` of the lowercased ``word``,
@@ -1617,25 +1638,54 @@ class SearchEngine:
         (the reference hard-fails unknown lemmas, SearchServiceImpl.java:
         60-62 — this is the recovery path a user hits right after).
 
-        Plan: ONE narrow scan of the vocab-sized dictionary (term_stats —
-        tiny relative to the corpus at any scale; the vocabulary grows
-        ~sublinearly in corpus size) with a length-band prefilter
+        Scan path (the exact baseline): ONE narrow scan of the
+        vocab-sized dictionary (term_stats) with a length-band prefilter
         (|len(term) - len(word)| <= max_edit lower-bounds the edit
         distance, so most of the vocabulary never reaches the DP), the
         JVM levenshtein expression for survivors, and a
-        TakeOrderedAndProject top-k. No shuffle, no Python, no collect."""
+        TakeOrderedAndProject top-k. No shuffle, no Python, no collect.
+
+        Scale path (``use_delete_index``, default: auto when fresh): the
+        symmetric-delete index (operators/suggest_index.py) — the query
+        word's own delete variants probe the range-partitioned delete-key
+        table (file/row-group pruning), the candidate superset joins the
+        LIVE term_stats for df, and the same exact levenshtein filter +
+        ordering run over the few candidates. Bit-identical to the scan
+        path by construction (superset + exact filter; parity-tested and
+        oracle-gated by ``engine_suggest_fast``); silently degrades to
+        the scan path when the index is missing, stale (stats_epoch
+        handshake), too narrow for the requested edit distance, or the
+        engine is snapshot-pinned."""
         w = (word or "").strip().lower()
         if not w:
             raise ValueError("suggest() needs a non-empty word")
         max_edit = int(max_edit)
         if max_edit < 0:
             raise ValueError("max_edit must be >= 0")
+        if use_delete_index is None:
+            use_delete_index = max_edit >= 1 and self._suggest_index_usable(
+                w, max_edit
+            )
+        elif use_delete_index and not self._suggest_index_usable(w, max_edit):
+            raise ValueError(
+                "use_delete_index=True but the delete index is missing, "
+                "stale, narrower than max_edit, or the engine is "
+                "snapshot-pinned — build_suggest_index() it first"
+            )
         dist = F.levenshtein(F.col("term"), F.lit(w)).cast("long")
-        return (
-            self.term_stats
-            .filter(
+        if use_delete_index:
+            from .suggest_index import suggest_candidates
+
+            cand = suggest_candidates(
+                self.spark, self.index_dir, w, max_edit
+            )
+            base = cand.join(self.term_stats, "term")
+        else:
+            base = self.term_stats.filter(
                 F.abs(F.length("term") - F.lit(len(w))) <= F.lit(max_edit)
             )
+        return (
+            base
             .withColumn("dist", dist)
             .filter(F.col("dist") <= F.lit(max_edit))
             .select("term", F.col("df").cast("long").alias("df"), "dist")
