@@ -297,6 +297,7 @@ class EngineAPI:
         max_df: int | None = None,
         snapshot_id: int | None = None,
         exclude: str | None = None,
+        role: str | None = None,
     ) -> dict[str, Any]:
         """Paginated search with the reference's response envelope:
         {result, count, data:[{...}]} (SearchServiceImpl.java:78-90).
@@ -330,7 +331,7 @@ class EngineAPI:
         try:
             rows = eng.search(
                 query, k=limit, offset=offset, mode=mode, max_df=max_df,
-                scope=site, exclude=exclude,
+                scope=site, exclude=exclude, role=role,
             ).collect()
         except ValueError as ex:
             # exclude= composed with offset/site/max_df is a caller
@@ -445,6 +446,23 @@ class EngineAPI:
                     ],
                 }
         return {"result": True, "results": results}
+
+    # -- GET /api/count (beyond-reference: total-hits figure) --------------
+    def count(
+        self, query: str, *, conjunctive: bool = True
+    ) -> dict[str, Any]:
+        """TOTAL matching-document count for ``query`` — the 'about N
+        results' figure (SearchEngine.match_count: membership-only
+        decode, no scores computed)."""
+        if not query or not query.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        try:
+            eng = self._get_engine()
+        except AnalysisException:
+            return {"result": False, "error": ERR_NO_INDEX,
+                    "is_indexing": self.is_indexing()}
+        n = eng.match_count(query, conjunctive=conjunctive).collect()[0]
+        return {"result": True, "n_matches": int(n["n_matches"])}
 
     # -- GET /api/suggest (beyond-reference: "did you mean") ---------------
     def suggest(

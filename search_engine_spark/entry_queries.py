@@ -1566,6 +1566,70 @@ LIMIT {k}
 """
 
 
+def q_engine_match_count(spark, sf_dir):
+    """A7 generalized — the TOTAL matching-document count ('about N
+    results') through the engine (SearchEngine.match_count): the
+    membership-only reader (ids-stream decode, one binary column,
+    rarest-term range pruning intact) feeds a per-doc term count (the
+    conjunctive test: a (doc, term) pair decodes to exactly one row)
+    and one global count — no score is ever computed. Oracle = COUNT
+    over the docs containing all three query lemmas."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    return eng.match_count(" ".join(QUERY_TERMS))
+
+
+def _sql_match_count() -> str:
+    terms = _oracle_terms_sorted()
+    return f"""
+WITH {_base_ctes()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matches FROM (
+    SELECT doc_id FROM tf WHERE term IN ({_in_list(terms)})
+    GROUP BY doc_id HAVING COUNT(DISTINCT term) = {len(terms)}
+)
+"""
+
+
+def ensure_role_index(spark: SparkSession, sf_dir: str) -> str:
+    """A mixed-role index layout: even original doc_ids become 'user'
+    turns, odd ones 'assistant' — so a role restriction has real work
+    to do (the standard corpus is single-role)."""
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.lit("corpus").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = _tagged_index_dir(sf_dir, "roles")
+    build_index(spark, transcripts, out, resume=True)
+    return out
+
+
+def q_engine_role_topk(spark, sf_dir):
+    """Role-restricted search (transcript-shaped: 'search only what the
+    user said') through the engine: the standard 3-term conjunctive
+    query over the mixed-role index with role='user' — one semi-join
+    against the delete-masked doc store's (doc_id, role) projection
+    BEFORE the top-k cut; scoring stats stay GLOBAL (the restriction
+    excludes candidates, it does not re-derive idf — the scope
+    contract). Oracle = the same scorer restricted to even original
+    doc_ids (the role assignment rule), so the entry is green only if
+    the semi-join keeps exactly the user turns with their global-stats
+    scores bit-identical."""
+    eng = SearchEngine(spark, ensure_role_index(spark, sf_dir))
+    ids = eng.search_ids(" ".join(QUERY_TERMS), k=TOPK, role="user")
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_engine_facets(spark, sf_dir):
     """Faceted search through the engine (SearchEngine.facet_counts):
     the FULL conjunctive match set of the standard query, grouped by
@@ -4241,6 +4305,8 @@ GATE_LAST_GREEN: dict[str, int] = {
     "engine_not_topk": 0,
     "engine_suggest": 0,
     "engine_suggest_fast": 0,
+    "engine_match_count": 0,
+    "engine_role_topk": 0,
     "engine_mlt_topk": 0,
     "engine_facets": 0,
     "bm25_topk": 0,
@@ -4291,6 +4357,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_not_topk": q_engine_not_topk,
     "engine_suggest": q_engine_suggest,
     "engine_suggest_fast": q_engine_suggest_fast,
+    "engine_match_count": q_engine_match_count,
+    "engine_role_topk": q_engine_role_topk,
     "engine_mlt_topk": q_engine_mlt_topk,
     "engine_facets": q_engine_facets,
     "engine_cdc_stats": q_engine_cdc_stats,
@@ -4456,6 +4524,13 @@ ORACLES: dict[str, str] = {
     "engine_suggest": _sql_suggest(),
     # SymSpell delete-index path must match the same levenshtein oracle
     "engine_suggest_fast": _sql_suggest(),
+    # total-hits count: docs containing ALL query lemmas, no scores
+    "engine_match_count": _sql_match_count(),
+    # role restriction == the same scorer over even original doc_ids
+    "engine_role_topk": _topk_sql(
+        _oracle_terms_sorted(), "bm25",
+        extra_pred="tf.doc_id % 2 = 0",
+    ),
     # more-like-this: term selection + disjunctive scorer re-derived
     "engine_mlt_topk": _sql_mlt_topk(),
     # full-match-set facet counts over the multi-source layout

@@ -623,6 +623,7 @@ class SearchEngine:
         max_df: int | None = None,
         conjunctive: bool = True,
         scope: str | None = None,
+        role: str | None = None,
         use_batch_plan: bool | None = None,
         use_blockmax: bool | None = None,
         use_maxscore: bool | None = None,
@@ -631,6 +632,11 @@ class SearchEngine:
         ``scope`` restricts results to conversations whose conv_id starts
         with it (the reference's site-scoped search,
         SearchServiceImpl.java:105-114) via doc_id-range pushdown.
+        ``role`` restricts results to turns whose doc-store role matches
+        (transcript-shaped: 'search only what the user said') — one
+        semi-join against the delete-masked doc store's (doc_id, role)
+        projection BEFORE the top-k cut; rides the classic plan, scoring
+        stats stay global like scope.
 
         Plan selection: by default (``use_batch_plan=None``) a plain
         query — no offset/scope/max_df — is routed by COST: the query
@@ -664,17 +670,19 @@ class SearchEngine:
         if use_blockmax is None:
             use_blockmax = False
             if (use_batch_plan is None and offset == 0 and scope is None
-                    and max_df is None):
+                    and max_df is None and role is None):
                 infos, n_missing = self.lookup_terms(query)
                 if len(infos) == 1 and not (conjunctive and n_missing):
                     use_blockmax = (
                         infos[0].df >= self.BLOCKMAX_MIN_POSTINGS
                     )
         if use_blockmax:
-            if offset != 0 or scope is not None or max_df is not None:
+            if (offset != 0 or scope is not None or max_df is not None
+                    or role is not None):
                 raise ValueError(
                     "use_blockmax=True requires offset=0, scope=None, "
-                    "max_df=None (those features ride the classic plan)"
+                    "role=None, max_df=None (those features ride the "
+                    "classic plan)"
                 )
             infos, n_missing = self.lookup_terms(query)
             if conjunctive and n_missing:
@@ -692,7 +700,7 @@ class SearchEngine:
         if use_maxscore is None:
             use_maxscore = False
             if (not conjunctive and use_batch_plan is None and offset == 0
-                    and scope is None and max_df is None):
+                    and scope is None and max_df is None and role is None):
                 infos, _ = self.lookup_terms(query)
                 if len(infos) > 1:
                     use_maxscore = (
@@ -705,10 +713,12 @@ class SearchEngine:
                     # use_maxscore=True runs the full plan regardless)
                     maxscore_auto = use_maxscore
         if use_maxscore:
-            if offset != 0 or scope is not None or max_df is not None:
+            if (offset != 0 or scope is not None or max_df is not None
+                    or role is not None):
                 raise ValueError(
                     "use_maxscore=True requires offset=0, scope=None, "
-                    "max_df=None (those features ride the classic plan)"
+                    "role=None, max_df=None (those features ride the "
+                    "classic plan)"
                 )
             if conjunctive:
                 raise ValueError(
@@ -724,7 +734,8 @@ class SearchEngine:
             )
         if use_batch_plan is None:
             use_batch_plan = False
-            if offset == 0 and scope is None and max_df is None:
+            if (offset == 0 and scope is None and max_df is None
+                    and role is None):
                 infos, n_missing = self.lookup_terms(query)
                 if infos and not (conjunctive and n_missing):
                     use_batch_plan = (
@@ -732,10 +743,12 @@ class SearchEngine:
                         >= self.BATCH_PLAN_MIN_POSTINGS
                     )
         if use_batch_plan:
-            if offset != 0 or scope is not None or max_df is not None:
+            if (offset != 0 or scope is not None or max_df is not None
+                    or role is not None):
                 raise ValueError(
                     "use_batch_plan=True requires offset=0, scope=None, "
-                    "max_df=None (those features ride the classic plan)"
+                    "role=None, max_df=None (those features ride the "
+                    "classic plan)"
                 )
             return (
                 self.search_many(
@@ -762,6 +775,7 @@ class SearchEngine:
         return self._classic_topk(
             infos, k=k, offset=offset, mode=mode,
             conjunctive=conjunctive, scope_ranges=scope_ranges,
+            role=role,
         )
 
     def _classic_topk(
@@ -772,14 +786,23 @@ class SearchEngine:
         mode: str = "bm25",
         conjunctive: bool = True,
         scope_ranges: list[tuple[int, int]] | None = None,
+        role: str | None = None,
     ) -> DataFrame:
         """The classic pivot plan over an already-resolved term list —
-        shared by ``search_ids`` and ``search_prefix``."""
+        shared by ``search_ids`` and ``search_prefix``. ``role``
+        semi-joins the scored set against the doc store's matching
+        (doc_id, role) rows BEFORE the limit (a filtered-out doc must
+        not occupy a result slot)."""
         partials = self.candidate_scores(
             infos, mode=mode, conjunctive=conjunctive,
             scope_ranges=scope_ranges,
         )
         scored = self._pivot_combine(partials, len(infos), conjunctive)
+        if role is not None:
+            keep = self.documents.filter(
+                F.col("role") == role
+            ).select("doc_id")
+            scored = scored.join(keep, "doc_id", "left_semi")
         topk = (
             scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(offset + k)
@@ -1520,24 +1543,53 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
-    def matching_doc_ids(self, infos: list[TermInfo]) -> DataFrame:
-        """doc_ids of documents containing ANY of ``infos``' terms —
-        membership only, no scores. Decodes ONLY the doc_ids stream
-        (the parquet scan reads 1 binary column instead of 3, and the
-        kernel skips the tfs/dls VByte passes; bucket partition pruning
-        and term row-group pushdown as in candidate_scores). The delete
-        vector is subtracted like every posting reader (a replaced
-        doc's old id must not act on any result). A doc appears once
-        per containing term — callers doing anti-joins need no
-        distinct; others dedup as needed."""
+    def matching_doc_ids(
+        self,
+        infos: list[TermInfo],
+        ranges: list[tuple[int, int]] | None = None,
+    ) -> DataFrame:
+        """One row per (containing doc, term) for ``infos``' terms —
+        membership only, no scores, term identity not materialized.
+        Decodes ONLY the doc_ids stream (the parquet scan reads the
+        doc_ids binary column instead of all three, and the kernel
+        skips the tfs/dls VByte passes; bucket partition pruning and
+        term row-group pushdown as in candidate_scores). ``ranges``
+        pushes a doc_id-range OR-filter into the scan plus a
+        decode-side mask — lossless under conjunctive semantics,
+        INVALID for negation (a NOT caller must see every containing
+        doc, so search_not never passes ranges). The delete vector is
+        subtracted like every posting reader (a replaced doc's old id
+        must not act on any result). A (doc, term) pair yields exactly
+        one row (salted hot-term blocks split by DISJOINT doc
+        subranges, parts hold disjoint doc batches), so a per-doc row
+        count equals the number of query terms the doc contains —
+        match_count's conjunctive test; anti-join callers need no
+        distinct, any-match callers dedup."""
         from ..functions.spark_hash import spark_bucket
 
         terms = [ti.term for ti in infos]
         buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
         blocks = self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        ).select("doc_ids")
+        )
+        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
+            overlap = None
+            for lo, hi in ranges:
+                c = (F.col("first_doc_id") <= hi) & (
+                    F.col("last_doc_id") >= lo
+                )
+                overlap = c if overlap is None else (overlap | c)
+            blocks = blocks.filter(overlap)
+        blocks = blocks.select("doc_ids")
         deleted_bc = self._deleted_bc
+        lo_arr = (
+            np.array([r[0] for r in ranges], dtype=np.int64)
+            if ranges else None
+        )
+        hi_arr = (
+            np.array([r[1] for r in ranges], dtype=np.int64)
+            if ranges else None
+        )
         out_schema = T.StructType(
             [T.StructField("doc_id", T.LongType(), False)]
         )
@@ -1549,15 +1601,56 @@ class SearchEngine:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                ids, _ = decode_doc_ids_grouped(
-                    list(pdf["doc_ids"].to_numpy())
-                )
+                ids, _ = decode_doc_ids_grouped(list(pdf["doc_ids"]))
+                if lo_arr is not None and ids.size:
+                    pos = np.searchsorted(lo_arr, ids, side="right") - 1
+                    keep = (pos >= 0) & (
+                        ids <= hi_arr[np.clip(pos, 0, None)]
+                    )
+                    ids = ids[keep]
                 if deleted is not None and ids.size:
                     ids = ids[~np.isin(ids, deleted)]
                 if ids.size:
                     yield pd.DataFrame({"doc_id": ids})
 
         return blocks.mapInPandas(decode_ids, schema=out_schema)
+
+    # ------------------------------------------------------------------
+    def match_count(
+        self, query: str, conjunctive: bool = True
+    ) -> DataFrame:
+        """TOTAL number of matching documents — the 'about N results'
+        figure next to a ranked page — without computing a single
+        score: the membership-only reader (ids-stream decode, 1 binary
+        column read) feeds a per-doc term count (= conjunctive test)
+        and a global count. Conjunctive queries keep the rarest-term
+        doc_id-range pruning (lossless, as in candidate_scores).
+        Returns one row (n_matches long). Cite: the reference's result
+        count A7 (SearchServiceImpl.java:78-90) generalized to the
+        whole match set instead of the page."""
+
+        infos, n_missing = self.lookup_terms(query)
+        if (conjunctive and n_missing) or not infos:
+            return self.spark.createDataFrame(
+                [(0,)], schema="n_matches long"
+            )
+        ranges = (
+            self._rare_term_ranges(infos[0])
+            if conjunctive and len(infos) > 1
+            else None
+        )
+        pairs = self.matching_doc_ids(infos, ranges=ranges)
+        if conjunctive and len(infos) > 1:
+            matched = (
+                pairs.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") == len(infos))
+            )
+        else:
+            matched = pairs.select("doc_id").distinct()
+        return matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches")
+        )
 
     # ------------------------------------------------------------------
     def search_not(
@@ -2291,15 +2384,19 @@ class SearchEngine:
         conjunctive: bool = True,
         with_snippets: bool = True,
         scope: str | None = None,
+        role: str | None = None,
         exclude: str | None = None,
     ) -> DataFrame:
         """Full result projection (P6): doc metadata + score + snippet.
         ``exclude`` routes through search_not (boolean NOT; first page
-        only — pagination/scope/df-cutoff ride the classic plan)."""
+        only — pagination/scope/role/df-cutoff ride the classic plan);
+        ``role`` restricts to matching doc-store roles (search_ids)."""
         if exclude is not None:
-            if offset != 0 or scope is not None or max_df is not None:
+            if (offset != 0 or scope is not None or max_df is not None
+                    or role is not None):
                 raise ValueError(
-                    "exclude= requires offset=0, scope=None, max_df=None"
+                    "exclude= requires offset=0, scope=None, role=None, "
+                    "max_df=None"
                 )
             ids = self.search_not(
                 query, exclude, k=k, mode=mode, conjunctive=conjunctive
@@ -2307,7 +2404,7 @@ class SearchEngine:
         else:
             ids = self.search_ids(
                 query, k=k, offset=offset, mode=mode, max_df=max_df,
-                conjunctive=conjunctive, scope=scope,
+                conjunctive=conjunctive, scope=scope, role=role,
             )
         joined = self.documents.join(F.broadcast(ids), "doc_id")
         if with_snippets:

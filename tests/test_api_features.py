@@ -85,3 +85,19 @@ def test_api_search_exclude(api):
 def test_api_search_exclude_composition_error(api):
     res = api.search("index", exclude="query", offset=5)
     assert res["result"] is False and "exclude" in res["error"]
+
+
+def test_api_count_envelope(api):
+    res = api.count("index")
+    assert res["result"] is True and res["n_matches"] > 0
+    # count covers the FULL match set, not the page
+    page = api.search("index", limit=5)
+    assert res["n_matches"] >= page["count"]
+    assert api.count("  ")["result"] is False
+
+
+def test_api_search_role_restriction(api):
+    res = api.search("index", limit=1000, role="user")
+    assert res["result"] is True and res["count"] > 0
+    plain = api.search("index", limit=1000)
+    assert res["count"] < plain["count"]

@@ -220,3 +220,54 @@ def test_facet_counts_unknown_column_raises(engine):
 def test_facet_counts_unknown_term_is_empty(engine):
     got = _pdf(engine.facet_counts("zzzxqjv"))
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# match_count / role restriction
+# ---------------------------------------------------------------------------
+def test_match_count_matches_oracle(engine, oracle_idx):
+    query = "table index"
+    full = _full_ranking(oracle_idx, query)
+    got = engine.match_count(query).collect()[0]["n_matches"]
+    assert got == len(full)
+    # disjunctive: any doc containing either lemma
+    any_docs = _docs_containing(oracle_idx, analyze_text(query))
+    got_any = engine.match_count(query, conjunctive=False).collect()[0][
+        "n_matches"
+    ]
+    assert got_any == len(any_docs)
+
+
+def test_match_count_missing_term_is_zero(engine):
+    assert (
+        engine.match_count("table zzzxqjv").collect()[0]["n_matches"] == 0
+    )
+    # disjunctively the unknown lemma just drops out
+    assert engine.match_count(
+        "table zzzxqjv", conjunctive=False
+    ).collect()[0]["n_matches"] > 0
+
+
+def test_role_restriction_matches_oracle(engine, oracle_idx):
+    query = "table index"
+    full = _full_ranking(oracle_idx, query)
+    docs = oracle_idx.documents.set_index("doc_id")
+    user_ids = set(docs[docs["role"] == "user"].index)
+    want = (
+        full[full["doc_id"].isin(user_ids)].head(10).reset_index(drop=True)
+    )
+    got = _pdf(engine.search_ids(query, k=10, role="user"))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # the restriction must bite: some unrestricted top-10 doc is not a
+    # user turn on this fixture corpus
+    plain = _pdf(engine.search_ids(query, k=10))
+    assert set(plain["doc_id"]) - user_ids
+
+
+def test_role_unknown_is_empty(engine):
+    assert engine.search_ids("table", k=10, role="nonexistent").count() == 0
+
+
+def test_role_rejects_forced_fast_plans(engine):
+    with pytest.raises(ValueError, match="role"):
+        engine.search_ids("table", role="user", use_batch_plan=True)
