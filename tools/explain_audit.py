@@ -105,6 +105,16 @@ def main() -> None:
         eng.facet_counts(" ".join(EQ.QUERY_TERMS), by="conv_id"),
     )
     show(
+        "match count (membership-only reader: ReadSchema doc_ids only "
+        "+ rarest-range pushdown; per-doc count agg, no scores)",
+        eng.match_count(" ".join(EQ.QUERY_TERMS)),
+    )
+    show(
+        "role-restricted search (classic plan + one left-semi join "
+        "against the doc store's filtered (doc_id, role) projection)",
+        eng.search_ids(" ".join(EQ.QUERY_TERMS), k=10, role="user"),
+    )
+    show(
         "decontamination (eval shingle set as BroadcastHashJoin — the "
         "corpus side never shuffles for the membership probe)",
         EQ.q_decontaminate(spark, sf_dir),
