@@ -174,6 +174,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "engine_suggest": lambda: len(
             eng.suggest(EQ.SUGGEST_WORDS[0], k=10).collect()
         ),
+        # scoreless total-hits twin of engine_bm25_3term: same terms,
+        # membership-only ids decode — the measured gap is the cost of
+        # scoring (tfs/dls decode + partials + pivot + TakeOrdered)
+        "engine_match_count": lambda: len(
+            eng.match_count(" ".join(EQ.QUERY_TERMS)).collect()
+        ),
         "engine_mlt": lambda: len(
             eng.more_like_this(
                 int(
