@@ -135,6 +135,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         _one_build, cpus, BUILD_REPS, BUILD_MAX_ATTEMPTS, quiet_budget
     )
     eng = SearchEngine(spark, idx_dir)
+    # resolved once: the engine_mlt timing must cover the MLT read path,
+    # not this setup lookup
+    mlt_src_id = int(
+        eng.documents.filter(F.col("turn_idx") == EQ.MLT_SRC_DOC)
+        .select("doc_id").collect()[0]["doc_id"]
+    )
 
     queries = {
         "engine_bm25_3term": lambda: len(
@@ -182,12 +188,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         ),
         "engine_mlt": lambda: len(
             eng.more_like_this(
-                int(
-                    eng.documents.filter(
-                        F.col("turn_idx") == EQ.MLT_SRC_DOC
-                    ).select("doc_id").collect()[0]["doc_id"]
-                ),
-                n_terms=EQ.MLT_N_TERMS, k=10,
+                mlt_src_id, n_terms=EQ.MLT_N_TERMS, k=10
             ).collect()
         ),
         # native-only helper: the q_bm25_topk GATE entry now unions the

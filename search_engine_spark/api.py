@@ -334,7 +334,7 @@ class EngineAPI:
                 scope=site, exclude=exclude, role=role,
             ).collect()
         except ValueError as ex:
-            # exclude= composed with offset/site/max_df is a caller
+            # exclude= composed with offset/site/role/max_df is a caller
             # error — envelope it like every other invalid-argument path
             return {"result": False, "error": str(ex)}
         if not rows:
@@ -507,8 +507,10 @@ class EngineAPI:
                     "is_indexing": self.is_indexing()}
         try:
             sel = eng.mlt_terms(doc_id, n_terms=n_terms)
+            # pass the selection back so the engine skips the second
+            # doc-store point-read (one Spark job, not two)
             ids = eng.more_like_this(
-                doc_id, n_terms=n_terms, k=limit, mode=mode
+                doc_id, n_terms=n_terms, k=limit, mode=mode, terms=sel
             )
         except ValueError as ex:
             return {"result": False, "error": str(ex)}

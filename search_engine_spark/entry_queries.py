@@ -1445,7 +1445,13 @@ def q_engine_suggest(spark, sf_dir):
     out = None
     for w in SUGGEST_WORDS:
         part = (
-            eng.suggest(w, max_edit=SUGGEST_MAX_EDIT, k=TOPK)
+            # pin the SCAN path: engine_suggest_fast may have built the
+            # delete index in this shared dir, and auto-routing would
+            # silently collapse both gate entries onto one code path
+            eng.suggest(
+                w, max_edit=SUGGEST_MAX_EDIT, k=TOPK,
+                use_delete_index=False,
+            )
             .withColumn("word", F.lit(w))
             .select("word", "term", "df", "dist")
         )

@@ -464,6 +464,35 @@ class SearchEngine:
         self._ranges_cache[key] = result
         return result
 
+
+    def _push_ranges(self, blocks: DataFrame,
+                     ranges: list[tuple[int, int]] | None) -> DataFrame:
+        """Shared doc_id-range row-group pushdown for the posting-block
+        scans (candidate_scores + matching_doc_ids): an OR-of-ranges
+        filter when the run list is small enough for Catalyst, else a
+        LOUD warning — the decode-side numpy mask keeps results exact
+        either way, but every block of every term gets scanned."""
+        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
+            overlap = None
+            for lo, hi in ranges:
+                c = (F.col("first_doc_id") <= hi) & (
+                    F.col("last_doc_id") >= lo
+                )
+                overlap = c if overlap is None else (overlap | c)
+            return blocks.filter(overlap)
+        if ranges:
+            # no silent caps: the post-decode numpy mask keeps results
+            # exact, but every block of every term will now be scanned
+            warnings.warn(
+                f"{len(ranges)} doc_id ranges exceed "
+                f"PRUNE_MAX_FILTER_RANGES={self.PRUNE_MAX_FILTER_RANGES}; "
+                "row-group pushdown dropped (results stay exact via the "
+                "decode-side mask). Many incremental batches? "
+                "compact_index restores dense ordering.",
+                stacklevel=3,
+            )
+        return blocks
+
     def candidate_scores(
         self,
         infos: list[TermInfo],
@@ -515,23 +544,7 @@ class SearchEngine:
             blocks = self.postings.filter(
                 F.col("bucket").isin(buckets) & F.col("term").isin(terms)
             )
-        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
-            overlap = None
-            for lo, hi in ranges:
-                c = (F.col("first_doc_id") <= hi) & (F.col("last_doc_id") >= lo)
-                overlap = c if overlap is None else (overlap | c)
-            blocks = blocks.filter(overlap)
-        elif ranges:
-            # no silent caps: the post-decode numpy mask keeps results
-            # exact, but every block of every term will now be scanned
-            warnings.warn(
-                f"{len(ranges)} doc_id ranges exceed "
-                f"PRUNE_MAX_FILTER_RANGES={self.PRUNE_MAX_FILTER_RANGES}; "
-                "row-group pushdown dropped (results stay exact via the "
-                "decode-side mask). Many incremental batches? "
-                "compact_index restores dense ordering.",
-                stacklevel=2,
-            )
+        blocks = self._push_ranges(blocks, ranges)
         blocks = blocks.select("term", "doc_ids", "tfs", "dls")
 
         lo_arr = np.array([r[0] for r in ranges], dtype=np.int64) if ranges else None
@@ -1572,14 +1585,7 @@ class SearchEngine:
         blocks = self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
-        if ranges and len(ranges) <= self.PRUNE_MAX_FILTER_RANGES:
-            overlap = None
-            for lo, hi in ranges:
-                c = (F.col("first_doc_id") <= hi) & (
-                    F.col("last_doc_id") >= lo
-                )
-                overlap = c if overlap is None else (overlap | c)
-            blocks = blocks.filter(overlap)
+        blocks = self._push_ranges(blocks, ranges)
         blocks = blocks.select("doc_ids")
         deleted_bc = self._deleted_bc
         lo_arr = (
@@ -1761,9 +1767,12 @@ class SearchEngine:
             )
         elif use_delete_index and not self._suggest_index_usable(w, max_edit):
             raise ValueError(
-                "use_delete_index=True but the delete index is missing, "
-                "stale, narrower than max_edit, or the engine is "
-                "snapshot-pinned — build_suggest_index() it first"
+                "use_delete_index=True but the delete index cannot answer "
+                "this lookup exactly: it is missing, stale, narrower than "
+                "the requested max_edit, built with a term-length cap too "
+                "small for this word, or the engine is snapshot-pinned — "
+                "rebuild with build_suggest_index() (or a larger "
+                "max_term_len), or use the scan path"
             )
         dist = F.levenshtein(F.col("term"), F.lit(w)).cast("long")
         if use_delete_index:
@@ -1823,7 +1832,7 @@ class SearchEngine:
 
     def more_like_this(
         self, doc_id: int, n_terms: int = 3, k: int = 10,
-        mode: str = "bm25",
+        mode: str = "bm25", terms: list[str] | None = None,
     ) -> DataFrame:
         """Find documents similar to ``doc_id``: the source doc's top
         ``n_terms`` lemmas by tf*idf (tie: term ASC) become a disjunctive
@@ -1843,7 +1852,13 @@ class SearchEngine:
         delete-vector-masked: a replaced doc is not a valid source and
         never appears as a neighbor."""
         self._check_mode(mode)
-        sel = self.mlt_terms(doc_id, n_terms=n_terms)
+        # ``terms``: a presentation layer that already called mlt_terms
+        # (api.similar does, for snippet highlighting) passes the
+        # selection back to avoid re-paying the doc-store point-read
+        sel = (
+            sorted(terms) if terms is not None
+            else self.mlt_terms(doc_id, n_terms=n_terms)
+        )
         doc_id = int(doc_id)
         if not sel:
             return self.spark.createDataFrame(

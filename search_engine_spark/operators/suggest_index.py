@@ -95,6 +95,16 @@ def build_suggest_index(
     terms = spark.read.parquet(f"{index_dir}/term_stats").select("term")
     corpus = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
     epoch = corpus.asDict().get("stats_epoch")
+    if epoch is None:
+        # a legacy pre-epoch index has no freshness handle, so the
+        # O(|vocab| * L^e) build would produce an artifact
+        # _suggest_index_usable can never trust — refuse loudly instead
+        # of burning the build
+        raise ValueError(
+            "index has no corpus_stats.stats_epoch (pre-epoch layout); "
+            "the delete index's freshness handshake cannot work — "
+            "rebuild or compact the index first"
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -121,7 +131,7 @@ def build_suggest_index(
     manifest = {
         "max_edit": int(max_edit),
         "max_term_len": int(max_term_len),
-        "stats_epoch": int(epoch) if epoch is not None else None,
+        "stats_epoch": int(epoch),
         "n_rows": int(n),
     }
     _manifest_path(index_dir).write_text(json.dumps(manifest))

@@ -97,7 +97,7 @@ def main() -> None:
         "spell suggestion (one WholeStageCodegen span over the "
         "vocab-sized term_stats scan: length-band filter before the "
         "levenshtein DP, TakeOrderedAndProject; ZERO Exchange)",
-        eng.suggest(EQ.SUGGEST_WORDS[0]),
+        eng.suggest(EQ.SUGGEST_WORDS[0], use_delete_index=False),
     )
     show(
         "facet counts (pivot match set ⋈ doc-store facet projection, "
