@@ -1360,6 +1360,27 @@ LIMIT {k}
 """
 
 
+SUFFIX_QUERY = "er"  # expands to customer/order/filter at sf0.01
+
+
+def q_engine_suffix_topk(spark, sf_dir):
+    """Leading-wildcard search (`*er`) through the engine
+    (SearchEngine.search_suffix): dictionary expansion by suffix +
+    disjunctive BM25 with the df-asc fixed-order accumulation, same
+    loud expansion cap as prefix. Oracle derives the same expansion set
+    (term LIKE '%er') and accumulation order from its dft CTE, so the
+    entry is green only if expansion, ordering, and float accumulation
+    all agree."""
+    eng = SearchEngine(spark, ensure_index(spark, sf_dir))
+    ids = eng.search_suffix(SUFFIX_QUERY, k=TOPK)
+    remap = eng.documents.select("doc_id", "turn_idx")
+    return (
+        ids.join(remap, "doc_id")
+        .select(F.col("turn_idx").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_engine_prefix_topk(spark, sf_dir):
     """Dictionary prefix expansion (J3 surface) + disjunctive BM25 through
     the REAL engine: search_prefix expands PREFIX_QUERY against
@@ -1382,6 +1403,16 @@ def _prefix_topk_sql(prefix: str, mode: str = "bm25", k: int = TOPK) -> str:
     with the prefix, accumulation = df-asc (ties term-asc) list_reduce —
     bit-identical to the engine's COALESCE chain (+0.0 for a term missing
     from a doc is an IEEE no-op on the positive partials)."""
+    return _affix_topk_sql(f"{prefix}%", mode, k)
+
+
+def _suffix_topk_sql(suffix: str, mode: str = "bm25", k: int = TOPK) -> str:
+    """The leading-wildcard twin: survivors = dictionary terms ENDING
+    with the suffix, same derived accumulation order."""
+    return _affix_topk_sql(f"%{suffix}", mode, k)
+
+
+def _affix_topk_sql(like_pat: str, mode: str, k: int) -> str:
     return f"""
 WITH {_base_ctes()},
 partials AS (
@@ -1390,7 +1421,7 @@ partials AS (
     JOIN dft USING (term)
     JOIN dl ON tf.doc_id = dl.doc_id
     CROSS JOIN stats
-    WHERE tf.term LIKE '{prefix}%'
+    WHERE tf.term LIKE '{like_pat}'
 ),
 agg AS (
     SELECT doc_id, list(s ORDER BY df ASC, term ASC) AS ss
@@ -4313,6 +4344,7 @@ GATE_LAST_GREEN: dict[str, int] = {
     "engine_suggest_fast": 0,
     "engine_match_count": 0,
     "engine_role_topk": 0,
+    "engine_suffix_topk": 0,
     "engine_mlt_topk": 0,
     "engine_facets": 0,
     "bm25_topk": 0,
@@ -4365,6 +4397,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_suggest_fast": q_engine_suggest_fast,
     "engine_match_count": q_engine_match_count,
     "engine_role_topk": q_engine_role_topk,
+    "engine_suffix_topk": q_engine_suffix_topk,
     "engine_mlt_topk": q_engine_mlt_topk,
     "engine_facets": q_engine_facets,
     "engine_cdc_stats": q_engine_cdc_stats,
@@ -4559,6 +4592,8 @@ ORACLES: dict[str, str] = {
     "engine_batch_topk": _batch_topk_sql(),
     # prefix expansion set + df-asc accumulation both derived from dft
     "engine_prefix_topk": _prefix_topk_sql(PREFIX_QUERY),
+    # leading-wildcard twin: suffix expansion derived the same way
+    "engine_suffix_topk": _suffix_topk_sql(SUFFIX_QUERY),
     # indexed candidate-first phrase search == conjunctive BM25 ∩ phrase
     "engine_phrase_topk": _engine_phrase_sql(),
     "engine_phrase_incr_topk": _engine_phrase_sql(),

@@ -1237,23 +1237,66 @@ class SearchEngine:
         silently scoring a truncated expansion set would change ranking;
         Lucene throws TooManyClauses for the same reason)."""
         self._check_mode(mode)
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        return self._expand_terms_topk(
+            F.col("term").startswith(prefix), f"prefix '{prefix}'",
+            k=k, mode=mode, max_expansions=max_expansions,
+        )
+
+    # ------------------------------------------------------------------
+    def search_suffix(
+        self,
+        suffix: str,
+        k: int = 10,
+        mode: str = "bm25",
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """Leading-wildcard query (`*ing`): expand ``suffix`` against the
+        dictionary to every term ENDING with it, then score disjunctively
+        with the same fixed-order accumulation — the suffix twin of
+        ``search_prefix`` (Lucene WildcardQuery's leading-* case), same
+        loud expansion cap.
+
+        Plan note: unlike a prefix (which dictionary sort order could
+        serve), a suffix match is a full vocab-sized dictionary scan —
+        the same cost class as ``suggest``'s scan path, fine at any
+        corpus scale because the vocabulary grows ~sublinearly. The
+        classic index-side fix (a reversed-term dictionary column
+        turning suffix into prefix) is the documented next step if the
+        vocabulary ever warranted it."""
+        self._check_mode(mode)
+        if not suffix:
+            raise ValueError("suffix must be non-empty")
+        return self._expand_terms_topk(
+            F.col("term").endswith(suffix), f"suffix '{suffix}'",
+            k=k, mode=mode, max_expansions=max_expansions,
+        )
+
+    def _expand_terms_topk(
+        self, pred, desc: str, k: int, mode: str,
+        max_expansions: int | None,
+    ) -> DataFrame:
+        """Shared dictionary-expansion tail for prefix/suffix queries:
+        bounded expansion collect (loudly refusing past the cap — a
+        silently truncated expansion set would change ranking, Lucene's
+        TooManyClauses contract), df-asc ordered TermInfos, disjunctive
+        classic plan."""
         cap = (
             self.PREFIX_MAX_EXPANSIONS
             if max_expansions is None
             else int(max_expansions)
         )
-        if not prefix:
-            raise ValueError("prefix must be non-empty")
         rows = (
-            self.term_stats.filter(F.col("term").startswith(prefix))
+            self.term_stats.filter(pred)
             .select("term", "df")
             .limit(cap + 1)
             .collect()
         )
         if len(rows) > cap:
             raise ValueError(
-                f"prefix '{prefix}' expands to more than {cap} dictionary "
-                "terms; use a longer prefix or raise max_expansions"
+                f"{desc} expands to more than {cap} dictionary "
+                "terms; use a longer pattern or raise max_expansions"
             )
         if not rows:
             return self.spark.createDataFrame(

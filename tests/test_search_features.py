@@ -271,3 +271,28 @@ def test_role_unknown_is_empty(engine):
 def test_role_rejects_forced_fast_plans(engine):
     with pytest.raises(ValueError, match="role"):
         engine.search_ids("table", role="user", use_batch_plan=True)
+
+
+# ---------------------------------------------------------------------------
+# suffix (leading-wildcard) search
+# ---------------------------------------------------------------------------
+def test_search_suffix_matches_disjunctive_oracle(engine, oracle_idx):
+    suffix = "ge"  # merge, ... on the fixture vocabulary
+    terms = [
+        t for t in oracle_idx.term_stats["term"] if t.endswith(suffix)
+    ]
+    assert len(terms) >= 2, "fixture must have several *ge lemmas"
+    full = oracle_search(
+        oracle_idx, " ".join(terms), k=oracle_idx.n_docs, conjunctive=False
+    )
+    want = full.head(10).reset_index(drop=True)
+    got = _pdf(engine.search_suffix(suffix, k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_search_suffix_contracts(engine):
+    with pytest.raises(ValueError, match="non-empty"):
+        engine.search_suffix("")
+    with pytest.raises(ValueError, match="expands to more than"):
+        engine.search_suffix("e", max_expansions=1)
+    assert engine.search_suffix("zzzxqjv", k=5).count() == 0
